@@ -1,0 +1,89 @@
+"""Tile binning: duplicate Gaussians across covered tiles and sort.
+
+Replaces the CUDA pipeline duplicateWithKeys → cub radix sort →
+identifyTileRanges (rasterizer_impl.cu:70-174,350-391) with a TPU-native,
+static-shape construction:
+
+  1. Gaussians are stably depth-sorted ONCE (the CUDA code sorts 64-bit
+     (tile<<32 | depth-bits) keys; sorting by depth first and then stably by
+     tile yields the identical per-tile depth order, with ties broken by
+     Gaussian index exactly like cub's stable radix sort).
+  2. Pair expansion uses a fixed ``max_pairs`` budget: slot→Gaussian lookup
+     by searchsorted over the cumulative tiles_touched (the dynamic
+     ``num_rendered`` D2H read of the CUDA path becomes a static budget +
+     validity mask).
+  3. A single stable 32-bit sort by tile id replaces the 64-bit radix sort.
+  4. Per-tile ranges via searchsorted (identifyTileRanges equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from igs_tpu.ops.projection import ProjectedGaussians, TILE_X, TILE_Y
+
+
+class TilePairs(NamedTuple):
+    gauss_id: jnp.ndarray  # (max_pairs,) int32 gaussian index, depth-ordered per tile
+    tile_id: jnp.ndarray  # (max_pairs,) int32, == num_tiles for invalid slots
+    num_pairs: jnp.ndarray  # () int32 actual pair count
+    tile_start: jnp.ndarray  # (num_tiles,) int32 range starts
+    tile_count: jnp.ndarray  # (num_tiles,) int32 range lengths
+    overflowed: jnp.ndarray  # () bool — true if budget was exceeded
+
+
+def build_tile_pairs(
+    proj: ProjectedGaussians, grid_x: int, grid_y: int, max_pairs: int
+) -> TilePairs:
+    n = proj.depth.shape[0]
+    num_tiles = grid_x * grid_y
+
+    # 1. depth-sort gaussians (invisible → +inf, pushed to the end)
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # stable
+    rect_min = proj.rect_min[order]
+    rect_max = proj.rect_max[order]
+    tiles_touched = proj.tiles_touched[order]
+
+    # 2. expand slots → (gaussian, tile) pairs under static budget
+    offsets = jnp.cumsum(tiles_touched)  # inclusive
+    total = offsets[-1]
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    g_sorted = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
+    g_clamped = jnp.minimum(g_sorted, n - 1)
+    base = jnp.where(g_clamped > 0, offsets[jnp.maximum(g_clamped - 1, 0)], 0)
+    local = slots - base
+    rw = jnp.maximum(rect_max[g_clamped, 0] - rect_min[g_clamped, 0], 1)
+    tile_x = rect_min[g_clamped, 0] + local % rw
+    tile_y = rect_min[g_clamped, 1] + local // rw
+    pair_valid = slots < total
+    tile_id = jnp.where(
+        pair_valid, tile_y * grid_x + tile_x, num_tiles
+    ).astype(jnp.int32)
+    gauss_id = jnp.where(pair_valid, order[g_clamped].astype(jnp.int32), -1)
+
+    # 3. stable sort pairs by tile (depth order preserved within tile)
+    tile_sorted, gauss_sorted = jax.lax.sort(
+        (tile_id, gauss_id), num_keys=1, is_stable=True
+    )
+
+    # 4. tile ranges
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+
+    return TilePairs(
+        gauss_id=gauss_sorted,
+        tile_id=tile_sorted,
+        num_pairs=jnp.minimum(total, max_pairs).astype(jnp.int32),
+        tile_start=start,
+        tile_count=end - start,
+        overflowed=total > max_pairs,
+    )
+
+
+def image_tile_grid(height: int, width: int) -> tuple[int, int]:
+    return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y

@@ -1,0 +1,158 @@
+"""K-nearest-neighbor search and farthest-point sampling — TPU-native.
+
+Replaces the reference's CUDA/CPU externals (SURVEY.md §2.1):
+  * torch_cluster.knn (igs/models/gs.py:1004) → exact brute-force KNN via
+    chunked distance matrices + jax.lax.top_k (MXU/VPU friendly, exact,
+    deterministic — no grid hash needed at N≈3e5, K=8 scales).
+  * fpsample.bucket_fps_kdline_sampling (igs/models/gs.py:983) → bucketed
+    on-device FPS: Morton-order partition into B spatially coherent
+    buckets, parallel greedy FPS inside each (vmap), so the sequential
+    chain is len/B instead of len. The reference's kd-tree bucket FPS is
+    itself an approximation; anchors feed a learned interpolation so exact
+    FPS parity is not required (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def knn(
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    points_valid: jnp.ndarray | None = None,
+    chunk: int = 4096,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each query, the k nearest ``points``: (dists (Q,k), idx (Q,k)).
+
+    Exact, deterministic (ties → lowest index). Invalid points never match.
+    """
+    n = points.shape[0]
+    q = queries.shape[0]
+    pp = jnp.sum(points * points, axis=-1)
+    if points_valid is not None:
+        pp = jnp.where(points_valid, pp, _BIG)
+
+    nchunks = max(1, -(-q // chunk))
+    pad_q = nchunks * chunk
+    queries_p = jnp.pad(queries, ((0, pad_q - q), (0, 0)))
+
+    def body(carry, qc):
+        d2 = (
+            jnp.sum(qc * qc, axis=-1, keepdims=True)
+            - 2.0 * qc @ points.T
+            + pp[None, :]
+        )
+        if points_valid is not None:
+            d2 = jnp.where(points_valid[None, :], d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return carry, (-neg, idx)
+
+    _, (d2s, idxs) = jax.lax.scan(
+        body, None, queries_p.reshape(nchunks, chunk, -1)
+    )
+    d2s = d2s.reshape(pad_q, k)[:q]
+    idxs = idxs.reshape(pad_q, k)[:q]
+    return jnp.sqrt(jnp.maximum(d2s, 0.0)), idxs
+
+
+def knn_weights(
+    anchors: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int = 8,
+    temperature: float = 10.0,
+    points_valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor-interpolation weights: softmax(−10·dist) over k nearest anchors.
+
+    Parity: get_mask_fpsample tail (igs/models/gs.py:1004-1009). Returns
+    (weights (N,k), idx (N,k)) for every point (points outside the dynamic
+    mask simply carry unused weights — gate with the mask downstream).
+    """
+    del points_valid
+    dist, idx = knn(anchors, points, k)
+    w = jax.nn.softmax(-temperature * dist, axis=-1)
+    return w, idx
+
+
+def _morton_order(points: jnp.ndarray, valid: jnp.ndarray, bits: int = 10):
+    """Sort order by 30-bit Morton code (invalid points last)."""
+    lo = jnp.min(jnp.where(valid[:, None], points, _BIG), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -_BIG), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-8)
+    grid = ((points - lo) / extent * (2**bits - 1)).astype(jnp.uint32)
+    grid = jnp.clip(grid, 0, 2**bits - 1)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(grid[:, 0]) | (spread(grid[:, 1]) << 1) | (spread(grid[:, 2]) << 2)
+    code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "num_buckets"))
+def farthest_point_sampling(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid: jnp.ndarray | None = None,
+    num_buckets: int = 64,
+) -> jnp.ndarray:
+    """Bucketed FPS: returns ``num_samples`` indices into ``points``.
+
+    Spatial buckets via Morton order; each bucket runs greedy FPS for its
+    share of samples in parallel. With fewer valid points than samples,
+    indices repeat (downstream weights make duplicates harmless).
+    """
+    import math
+
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    num_buckets = math.gcd(num_samples, num_buckets)
+    per = num_samples // num_buckets
+
+    order = _morton_order(points, valid)
+    pts = points[order]
+    val = valid[order]
+    # valid points sort first in Morton order; collapse invalid points onto
+    # the first valid one so exhausted buckets fall back to a valid index.
+    anchor_pt = pts[0]
+    pts = jnp.where(val[:, None], pts, anchor_pt[None, :])
+
+    bucket = max(1, n // num_buckets)
+    usable = bucket * num_buckets
+    bpts = pts[:usable].reshape(num_buckets, bucket, 3)
+    bval = val[:usable].reshape(num_buckets, bucket)
+
+    def fps_one(bp, bv):
+        start = jnp.argmax(bv)  # first valid point in the bucket (0 if none)
+
+        def step(carry, _):
+            mind2, last = carry
+            d2 = jnp.sum((bp - bp[last]) ** 2, axis=-1)
+            mind2 = jnp.minimum(mind2, d2)
+            masked = jnp.where(bv, mind2, -1.0)
+            nxt = jnp.argmax(masked)
+            return (mind2, nxt), last
+
+        (_, _), sel = jax.lax.scan(
+            step, (jnp.full(bucket, _BIG), start), None, length=per
+        )
+        return sel
+
+    sel = jax.vmap(fps_one)(bpts, bval)  # (num_buckets, per) in-bucket indices
+    base = (jnp.arange(num_buckets) * bucket)[:, None]
+    flat = (sel + base).reshape(-1)
+    picked_valid = val[flat]
+    return jnp.where(picked_valid, order[flat], order[0])

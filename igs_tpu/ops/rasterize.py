@@ -1,0 +1,268 @@
+"""Public differentiable rasterization API.
+
+TPU-native replacement for the reference's three CUDA extensions
+(diff-gaussian-rasterization RaDe-GS / clamp / compress variants,
+SURVEY.md §2.1): one implementation with flags —
+  * ``clamp_grads=True``  ≡ the *_clamp variant: every Gaussian-parameter
+    gradient clamped to ±15 (…_rade_clamp/__init__.py:156-162).
+  * ``count_mode=True``   ≡ the compress variant's importance counting
+    (per-Gaussian hit count and Σ blended-opacity importance,
+    compress …/forward.cu:392,542-558) — here a cheap extra output of the
+    same forward.
+
+Inputs follow the reference binding (…_rade/__init__.py:177-243): activated
+opacity/scales, normalized rotations, raw SH. ``means2d_offset`` is the
+JAX-idiomatic stand-in for the torch ``screenspace_points`` trick: an NDC
+offset added to the projected mean whose gradient equals the reference's
+``grad_means2D`` (backward.cu dL_dmean2D, NDC-scaled) for densification.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from igs_tpu.ops import projection
+from igs_tpu.ops.binning import build_tile_pairs, image_tile_grid
+from igs_tpu.ops.projection import project
+from igs_tpu.ops.raster_ref import render_reference
+from igs_tpu.ops.render_tiles import RenderOutputs, render_tiles
+
+
+class RasterSettings(NamedTuple):
+    """Static rasterization configuration (hashable, jit-friendly)."""
+
+    image_height: int = 512
+    image_width: int = 512
+    sh_degree: int = 3
+    kernel_size: float = 0.0  # RaDe-GS default in IGS (gs.py:606)
+    scale_modifier: float = 1.0
+    max_pairs: int = 2**21
+    max_per_tile: int = 4096
+    chunk: int = 256
+    impl: str = "tiles"  # "tiles" | "reference"
+    clamp_grads: bool = False
+    clamp_value: float = 15.0
+
+
+def _rasterize_impl(
+    means3d,
+    opacity,
+    scaling,
+    rotation,
+    shs,
+    colors_precomp,
+    means2d_offset,
+    bg,
+    camera,
+    settings: RasterSettings,
+    valid,
+):
+    proj = project(
+        means3d,
+        scaling,
+        rotation,
+        opacity,
+        camera,
+        shs=shs,
+        colors_precomp=colors_precomp,
+        sh_degree=settings.sh_degree,
+        kernel_size=settings.kernel_size,
+        scale_modifier=settings.scale_modifier,
+        valid=valid,
+    )
+    if means2d_offset is not None:
+        # NDC offset → pixel offset (ndc2Pix is affine with slope S/2)
+        scale = jnp.array(
+            [0.5 * settings.image_width, 0.5 * settings.image_height],
+            dtype=jnp.float32,
+        )
+        proj = proj._replace(means2d=proj.means2d + means2d_offset * scale[None, :])
+
+    h, w = settings.image_height, settings.image_width
+    fx, fy = camera.focal_x, camera.focal_y
+    if settings.impl == "reference":
+        out = render_reference(proj, h, w, fx, fy, bg)
+    else:
+        grid_x, grid_y = image_tile_grid(h, w)
+        pairs = build_tile_pairs(proj, grid_x, grid_y, settings.max_pairs)
+        out = render_tiles(
+            proj,
+            pairs,
+            h,
+            w,
+            fx,
+            fy,
+            bg,
+            max_per_tile=settings.max_per_tile,
+            chunk=settings.chunk,
+        )
+    return out, proj
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    opacity: jnp.ndarray,
+    scaling: jnp.ndarray,
+    rotation: jnp.ndarray,
+    camera,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    settings: RasterSettings = RasterSettings(),
+) -> dict:
+    """Render; returns the reference 8-tuple as a dict plus radii.
+
+    Differentiable wrt means3d/opacity/scaling/rotation/shs/colors/
+    means2d_offset via JAX AD (deterministic segment reductions replace the
+    CUDA atomicAdd backward).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if (shs is None) == (colors_precomp is None):
+        raise ValueError("provide exactly one of shs / colors_precomp")
+
+    if settings.clamp_grads:
+        render = _rasterize_clamped
+    else:
+        render = _rasterize_plain
+    out, radii = render(
+        means3d,
+        opacity,
+        scaling,
+        rotation,
+        shs,
+        colors_precomp,
+        means2d_offset,
+        bg,
+        camera,
+        settings,
+        valid,
+    )
+    return {
+        "color": out.color,
+        "alpha": out.alpha,
+        "coord": out.coord,
+        "mcoord": out.mcoord,
+        "depth": out.depth,
+        "mdepth": out.mdepth,
+        "normal": out.normal,
+        "radii": radii,
+        "n_contrib": out.n_contrib,
+    }
+
+
+def _rasterize_plain(
+    means3d, opacity, scaling, rotation, shs, colors_precomp,
+    means2d_offset, bg, camera, settings, valid,
+):
+    out, proj = _rasterize_impl(
+        means3d, opacity, scaling, rotation, shs, colors_precomp,
+        means2d_offset, bg, camera, settings, valid,
+    )
+    return out, jax.lax.stop_gradient(proj.radius)
+
+
+def _clamped_core(args, camera, settings, valid):
+    out, proj = _rasterize_impl(*args, camera=camera, settings=settings, valid=valid)
+    return out, jax.lax.stop_gradient(proj.radius)
+
+
+def _rasterize_clamped(
+    means3d, opacity, scaling, rotation, shs, colors_precomp,
+    means2d_offset, bg, camera, settings, valid,
+):
+    """Clamp-variant: param grads clamped to ±15 (means2d/colors exempt,
+    matching …_rade_clamp/__init__.py:156-162)."""
+
+    def core(diff_args):
+        m3, op, sc, ro, sh, cp, m2o = diff_args
+        out, proj = _rasterize_impl(
+            m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid
+        )
+        return out, jax.lax.stop_gradient(proj.radius)
+
+    @jax.custom_vjp
+    def fn(diff_args):
+        return core(diff_args)
+
+    def fwd(diff_args):
+        (out, radii), vjp_fn = jax.vjp(core, diff_args)
+        return (out, radii), vjp_fn
+
+    def bwd(vjp_fn, cts):
+        (g,) = vjp_fn(cts)
+        c = settings.clamp_value
+        clip = lambda x: None if x is None else jnp.clip(x, -c, c)
+        g_m3, g_op, g_sc, g_ro, g_sh, g_cp, g_m2o = g
+        return ((clip(g_m3), clip(g_op), clip(g_sc), clip(g_ro), clip(g_sh), g_cp, g_m2o),)
+
+    fn.defvjp(fwd, bwd)
+    return fn((means3d, opacity, scaling, rotation, shs, colors_precomp, means2d_offset))
+
+
+def count_gaussians(
+    means3d, opacity, scaling, rotation, camera,
+    valid=None, settings: RasterSettings = RasterSettings(),
+):
+    """LightGaussian importance counting (compress variant).
+
+    Returns (gaussians_count (N,) int32, important_score (N,) f32): per-
+    Gaussian number of accepted pixel contributions and Σ of conic-opacity
+    (opacity·coef) over those contributions — parity with
+    compress-…/cuda_rasterizer/forward.cu:542-558 where each contributing
+    pixel adds 1 to count and con_o.w to the score.
+    """
+    n = means3d.shape[0]
+    proj = project(
+        means3d, scaling, rotation, opacity, camera,
+        colors_precomp=jnp.zeros((n, 3), jnp.float32),
+        kernel_size=settings.kernel_size,
+        scale_modifier=settings.scale_modifier,
+        valid=valid,
+    )
+    h, w = settings.image_height, settings.image_width
+
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    inv = jnp.argsort(order)
+
+    from igs_tpu.ops.projection import TILE_X, TILE_Y
+    from igs_tpu.ops.render_tiles import _LOG_TERM, _MIN_ALPHA
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pixf = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+    ptx = (pixf[:, 0] // TILE_X).astype(jnp.int32)
+    pty = (pixf[:, 1] // TILE_Y).astype(jnp.int32)
+
+    xy = proj.means2d[order]
+    conic = proj.conic[order]
+    opac = proj.opacity[order]
+    rmin, rmax = proj.rect_min[order], proj.rect_max[order]
+    vis = proj.visible[order]
+
+    dx = xy[:, 0:1] - pixf[None, :, 0]
+    dy = xy[:, 1:2] - pixf[None, :, 1]
+    power = -0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy) - conic[
+        :, 1:2
+    ] * dx * dy
+    alpha = jnp.minimum(0.99, opac[:, None] * jnp.exp(jnp.minimum(power, 0.0)))
+    covers = (
+        (ptx[None, :] >= rmin[:, 0:1]) & (ptx[None, :] < rmax[:, 0:1])
+        & (pty[None, :] >= rmin[:, 1:2]) & (pty[None, :] < rmax[:, 1:2])
+    )
+    cand = vis[:, None] & covers & (power <= 0.0) & (alpha >= _MIN_ALPHA)
+    a = jnp.where(cand, alpha, 0.0)
+    cum = jnp.cumsum(jnp.log1p(-a), axis=0)
+    accept = cand & (cum >= _LOG_TERM)
+    count = jnp.sum(accept, axis=1).astype(jnp.int32)[inv]
+    score = jnp.sum(jnp.where(accept, opac[:, None], 0.0), axis=1)[inv]
+    return count, score
