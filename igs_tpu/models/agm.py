@@ -1,0 +1,177 @@
+"""AGM-Net — the anchor-driven Gaussian motion system module.
+
+Reference parity: IGS (/root/reference/igs/IGS.py:22-257), active config
+path (_forward_v3): frozen GMFlow backbone → 1-layer motion transformer →
+2× upsample conv → ModLN 3D conditioning on (local rays, depth) → anchor
+projection + Transformer1D (GridEncoder) → residual decode → deform →
+rasterize output views.
+
+TPU-first: one jitted graph per (B, V, N, A, resolution) signature; the
+anchor precompute (FPS/KNN — IGS.py:223, gs.py:966-1011) is a separate
+jitted function whose outputs (AnchorState) are STATIC inputs here, exactly
+like the reference's streaming ``pre_compute_states`` caching
+(IGS.py:212-217,176-178) — but also reused under jit during training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from igs_tpu.core.camera import Camera
+from igs_tpu.core.gaussians import Gaussians
+from igs_tpu.models.grid_encoder import GridEncoder
+from igs_tpu.models.networks import ModLN
+from igs_tpu.models.renderer import ResidualDecoder, deform_and_render, interpolate_residuals
+from igs_tpu.models.swin import FeatureTransformerMy
+from igs_tpu.models.unimatch import UniMatch
+from igs_tpu.ops.anchors import AnchorState
+from igs_tpu.ops.rasterize import RasterSettings
+
+
+class AGMNet(nn.Module):
+    """The full IGS system module."""
+
+    feature_channels: int = 128
+    backbone_layers: int = 6
+    motion_layers: int = 1
+    up_sample: bool = True
+    use_condition3d: bool = True
+    local_ray: bool = True
+    fine_tune_backbone: bool = True  # = train the motion transformer
+    encoder_heads: int = 8
+    encoder_head_dim: int = 64
+    encoder_layers: int = 4
+    attn_splits: int = 2
+
+    def setup(self):
+        self.backbone = UniMatch(
+            feature_channels=self.feature_channels,
+            num_transformer_layers=self.backbone_layers,
+            attn_splits=self.attn_splits,
+            name="backbone",
+        )
+        if self.fine_tune_backbone:
+            self.transformer = FeatureTransformerMy(
+                num_layers=self.motion_layers,
+                d_model=self.feature_channels,
+                name="transformer",
+            )
+        if self.up_sample:
+            self.upsample = nn.Conv(
+                self.feature_channels, (3, 3), padding=1, name="upsample"
+            )
+        if self.use_condition3d:
+            mod_dim = 4 if self.local_ray else 33
+            self.modln = ModLN(self.feature_channels, name="ModLN")
+            del mod_dim  # mod dim implied by cond input
+        self.triplane_encoder = GridEncoder(
+            in_channels=self.feature_channels,
+            num_attention_heads=self.encoder_heads,
+            attention_head_dim=self.encoder_head_dim,
+            num_layers=self.encoder_layers,
+            name="triplane_encoder",
+        )
+        self.decoder = ResidualDecoder(
+            in_channels=self.feature_channels,
+            n_neurons=self.feature_channels,
+            name="render",
+        )
+
+    def motion_features(self, cur_images, next_images):
+        """(B·V, 3, H, W) ×2 → motion feature (B·V, C, h, w).
+
+        Parity: IGS.py:123-134 (backbone frozen via stop_gradient, motion
+        transformer, optional 2× upsample + 3×3 conv).
+        """
+        f0, f1 = self.backbone(cur_images, next_images)
+        f0 = jax.lax.stop_gradient(f0)
+        f1 = jax.lax.stop_gradient(f1)
+        if self.fine_tune_backbone:
+            motion = self.transformer(f0, f1, attn_num_splits=self.attn_splits)
+        else:
+            motion = f0
+        if self.up_sample:
+            b, c, h, w = motion.shape
+            motion = jax.image.resize(
+                motion, (b, c, 2 * h, 2 * w), method="bilinear"
+            )
+            motion = self.upsample(motion.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        return motion
+
+    def condition3d(self, motion_feature, local_rays, depth):
+        """ModLN(motion | rays+depth). Parity: IGS.py:185-210.
+
+        motion_feature (B·V, C, h, w); local_rays (B, h, w, 3);
+        depth (B, V, H, W) full-res → bilinear to (h, w).
+        """
+        bv, c, h, w = motion_feature.shape
+        b, v = depth.shape[:2]
+        ray = jnp.repeat(local_rays, v, axis=0)  # (B·V, h, w, 3)
+        d = jax.image.resize(
+            depth.reshape(bv, *depth.shape[2:]), (bv, h, w), method="bilinear"
+        )
+        cond = jnp.concatenate([ray, d[..., None]], axis=-1)
+        x = motion_feature.transpose(0, 2, 3, 1)  # B H W C
+        x = self.modln(x, cond)
+        return x.transpose(0, 3, 1, 2)
+
+    def __call__(
+        self,
+        batch: Dict[str, Any],
+        anchor_state: AnchorState,  # batched (B leading axis)
+        gaussians: Gaussians,  # batched (B leading axis)
+        settings: RasterSettings,
+    ) -> Dict[str, Any]:
+        """Run AGM-Net on a batch. Parity: _forward_v3 (IGS.py:114-181).
+
+        batch keys (shapes as the reference dataset, SURVEY §2.2):
+          cur_images_input/next_images_input (B, V, 3, H, W) in [0,1],
+          depth (B, V, H, W), local_rays (B, h, w, 3), FOV (B, 2),
+          c2w_input (B, V, 4, 4), c2w_output (B, Vout, 4, 4),
+          background_color (B, 3), resolution static via ``settings``.
+        """
+        b, v, c, hh, ww = batch["cur_images_input"].shape
+        cur = batch["cur_images_input"].reshape(-1, c, hh, ww)
+        nxt = batch["next_images_input"].reshape(-1, c, hh, ww)
+
+        motion = self.motion_features(cur, nxt)
+        if self.use_condition3d:
+            motion = self.condition3d(motion, batch["local_rays"], batch["depth"])
+
+        triplane = self.triplane_encoder(
+            motion, anchor_state.anchor_points, batch["FOV"], batch["c2w_input"]
+        )  # (B, A, C)
+
+        # per-gaussian features then residual decode (interpolate_first=True)
+        feats = jax.vmap(interpolate_residuals)(triplane, anchor_state)
+        residuals = self.decoder(feats)  # dict of (B, N, ·)
+
+        fovx = batch["FOV"][:, 0]
+        fovy = batch["FOV"][:, 1]
+
+        def render_scene(gs, res, mask, c2ws, fx, fy, bg):
+            cams = jax.vmap(
+                lambda c2w: Camera.from_c2w(
+                    c2w, (fx, fy),
+                    (settings.image_height, settings.image_width),
+                )
+            )(c2ws)
+            return deform_and_render(gs, res, mask, cams, bg, settings)
+
+        out = jax.vmap(render_scene)(
+            gaussians,
+            residuals,
+            anchor_state.mask,
+            batch["c2w_output"],
+            fovx,
+            fovy,
+            batch.get(
+                "background_color", jnp.zeros((b, 3), jnp.float32)
+            ),
+        )
+        out["motion_feature"] = triplane
+        return out

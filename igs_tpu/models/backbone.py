@@ -1,0 +1,103 @@
+"""GMFlow CNN encoder (flax) — 1/8-resolution feature extractor.
+
+Reference parity: CNNEncoder / ResidualBlock
+(igs/models/unimatch/backbone.py:6-122): 7×7 s2 conv → 3 residual stages
+(strides 1, 2, 2) → 1×1 conv to 128ch; InstanceNorm (affine-free), ReLU.
+
+Data layout: NCHW at the API boundary (matching the reference tensors and
+the torch checkpoint conversion); convs run in NHWC internally — the
+TPU-native layout — and convert at the edges.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class _Conv(nn.Module):
+    """Conv2d on NCHW with torch-style padding."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, C, H, W)
+        x = x.transpose(0, 2, 3, 1)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        return x.transpose(0, 3, 1, 2)
+
+
+class _InstanceNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # NCHW
+        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        var = jnp.var(x, axis=(-2, -1), keepdims=True)
+        return (x - mean) / jnp.sqrt(var + self.eps)
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        y = nn.relu(
+            _InstanceNorm()(
+                _Conv(
+                    self.planes, 3, stride=self.stride,
+                    padding=self.dilation, dilation=self.dilation,
+                    use_bias=False, name="conv1",
+                )(y)
+            )
+        )
+        y = nn.relu(
+            _InstanceNorm()(
+                _Conv(
+                    self.planes, 3, padding=self.dilation,
+                    dilation=self.dilation, use_bias=False, name="conv2",
+                )(y)
+            )
+        )
+        if self.stride != 1 or x.shape[1] != self.planes:
+            x = _InstanceNorm()(
+                _Conv(self.planes, 1, stride=self.stride, name="downsample")(x)
+            )
+        return nn.relu(x + y)
+
+
+class CNNEncoder(nn.Module):
+    output_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x):  # (B, 3, H, W) → (B, C, H/8, W/8)
+        dims = [64, 96, 128]
+        x = _Conv(dims[0], 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
+        x = nn.relu(_InstanceNorm()(x))
+        # layer1: stride 1
+        x = ResidualBlock(dims[0], stride=1, name="layer1_0")(x)
+        x = ResidualBlock(dims[0], stride=1, name="layer1_1")(x)
+        # layer2: stride 2
+        x = ResidualBlock(dims[1], stride=2, name="layer2_0")(x)
+        x = ResidualBlock(dims[1], stride=1, name="layer2_1")(x)
+        # layer3: stride 2 (single-scale config)
+        x = ResidualBlock(dims[2], stride=2, name="layer3_0")(x)
+        x = ResidualBlock(dims[2], stride=1, name="layer3_1")(x)
+        x = _Conv(self.output_dim, 1, name="conv2")(x)
+        return x

@@ -1,0 +1,94 @@
+"""Transformer1D over anchor tokens (diffusers-style, flax).
+
+Reference parity: Transformer1D / BasicTransformerBlock / FeedForward(GEGLU)
+(igs/models/transformers.py:137-397,400-525,673-908) in the configuration
+IGS uses: layer_norm, no cross-attention, no ada-norm, geglu FF, 8 heads ×
+64 dims × 4 layers over 8192 anchor tokens (configs/train.yaml
+triplane_encoder.unet).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class Attention(nn.Module):
+    """diffusers Attention: q/k/v Dense(no bias) → heads → out Dense(bias)."""
+
+    heads: int = 8
+    head_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, D)
+        b, L, _ = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(x)
+
+        def split(t):
+            return t.reshape(b, L, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhlc,bhmc->bhlm", q, k) / (self.head_dim ** 0.5)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhlm,bhmc->bhlc", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, L, inner)
+        return nn.Dense(x.shape[-1], name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """FeedForward with GEGLU (transformers.py:400-525), mult=4."""
+
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(inner * 2, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int = 8
+    head_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(self.heads, self.head_dim, name="attn1")(
+            nn.LayerNorm(name="norm1")(x)
+        )
+        x = x + GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+        return x
+
+
+class Transformer1D(nn.Module):
+    """(B, C, L) → (B, C, L) with residual (transformers.py:855-908)."""
+
+    in_channels: int = 128
+    num_attention_heads: int = 8
+    attention_head_dim: int = 64
+    num_layers: int = 4
+    norm_num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # (B, C, L)
+        residual = x
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, name="norm"
+        )(x.transpose(0, 2, 1)).transpose(0, 2, 1)
+        h = h.transpose(0, 2, 1)  # (B, L, C)
+        inner = self.num_attention_heads * self.attention_head_dim
+        h = nn.Dense(inner, name="proj_in")(h)
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                self.num_attention_heads, self.attention_head_dim,
+                name=f"block{i}",
+            )(h)
+        h = nn.Dense(self.in_channels, name="proj_out")(h)
+        return h.transpose(0, 2, 1) + residual

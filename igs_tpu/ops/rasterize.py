@@ -19,6 +19,7 @@ offset added to the projected mean whose gradient equals the reference's
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -167,9 +168,35 @@ def _rasterize_plain(
     return out, jax.lax.stop_gradient(proj.radius)
 
 
-def _clamped_core(args, camera, settings, valid):
-    out, proj = _rasterize_impl(*args, camera=camera, settings=settings, valid=valid)
+def _clamped_core(settings, args):
+    m3, op, sc, ro, sh, cp, m2o, bg, camera, valid = args
+    out, proj = _rasterize_impl(
+        m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid
+    )
     return out, jax.lax.stop_gradient(proj.radius)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _clamped_call(settings, args):
+    return _clamped_core(settings, args)
+
+
+def _clamped_fwd(settings, args):
+    out, vjp_fn = jax.vjp(functools.partial(_clamped_core, settings), args)
+    return out, vjp_fn
+
+
+def _clamped_bwd(settings, vjp_fn, cts):
+    (g,) = vjp_fn(cts)
+    c = settings.clamp_value
+    clip = lambda x: None if x is None else jnp.clip(x, -c, c)
+    g_m3, g_op, g_sc, g_ro, g_sh = g[:5]
+    # clamp the five Gaussian-parameter grads only (…_rade_clamp:157-161);
+    # colors_precomp / means2d_offset / bg / camera / valid pass through.
+    return ((clip(g_m3), clip(g_op), clip(g_sc), clip(g_ro), clip(g_sh)) + tuple(g[5:]),)
+
+
+_clamped_call.defvjp(_clamped_fwd, _clamped_bwd)
 
 
 def _rasterize_clamped(
@@ -178,31 +205,11 @@ def _rasterize_clamped(
 ):
     """Clamp-variant: param grads clamped to ±15 (means2d/colors exempt,
     matching …_rade_clamp/__init__.py:156-162)."""
-
-    def core(diff_args):
-        m3, op, sc, ro, sh, cp, m2o = diff_args
-        out, proj = _rasterize_impl(
-            m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid
-        )
-        return out, jax.lax.stop_gradient(proj.radius)
-
-    @jax.custom_vjp
-    def fn(diff_args):
-        return core(diff_args)
-
-    def fwd(diff_args):
-        (out, radii), vjp_fn = jax.vjp(core, diff_args)
-        return (out, radii), vjp_fn
-
-    def bwd(vjp_fn, cts):
-        (g,) = vjp_fn(cts)
-        c = settings.clamp_value
-        clip = lambda x: None if x is None else jnp.clip(x, -c, c)
-        g_m3, g_op, g_sc, g_ro, g_sh, g_cp, g_m2o = g
-        return ((clip(g_m3), clip(g_op), clip(g_sc), clip(g_ro), clip(g_sh), g_cp, g_m2o),)
-
-    fn.defvjp(fwd, bwd)
-    return fn((means3d, opacity, scaling, rotation, shs, colors_precomp, means2d_offset))
+    return _clamped_call(
+        settings,
+        (means3d, opacity, scaling, rotation, shs, colors_precomp,
+         means2d_offset, bg, camera, valid),
+    )
 
 
 def count_gaussians(
