@@ -1,0 +1,349 @@
+"""Key-frame refinement: Adam on Gaussian params + max-bounded densify.
+
+Reference parity: trainable GaussianModel (igs/models/gaussian_model.py)
+used by the streaming refine loop (infer_batch.py:245-357):
+  * load_fromstream → Adam(eps=1e-15) param groups with per-group lrs
+    (gaussian_model.py:265-348); refine_item flags gate shs/opacity/scaling.
+  * add_densification_stats (gaussian_model.py:865-868): accumulates the
+    NDC means2D grad norm over visible Gaussians.
+  * densify_and_prune with the max-points bound (gaussian_model.py:640-666),
+    densify_and_clone/split (gaussian_model.py:586-638). Note
+    load_fromstream leaves percent_dense = 0 (gaussian_model.py:84), so in
+    the streaming refine clone never fires and split always fires for
+    selected Gaussians — behavior preserved here.
+  * convert2stream (gaussian_model.py:350-367).
+
+TPU-first: the Gaussian array has FIXED capacity (opt.max_num); densify
+scatters new rows into dead slots and prune clears ``valid`` — every step
+is one jitted graph, no optimizer "surgery", no reallocation. Adam moments
+live alongside as a pytree; new rows start with zeroed moments exactly like
+the reference's cat_tensors_to_optimizer (gaussian_model.py:520-556).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from igs_tpu.core.camera import Camera
+from igs_tpu.core.gaussians import Gaussians
+from igs_tpu.core.quaternion import quat_to_rotmat
+from igs_tpu.ops.rasterize import RasterSettings, rasterize
+from igs_tpu.train.losses import l1_loss, ssim
+
+TRAINABLE = ("xyz", "rotation", "shs", "opacity", "scaling")
+
+
+class RefineConfig(NamedTuple):
+    """Static refine configuration (configs/demo.yaml opt.*)."""
+
+    position_lr: float = 0.0016
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.01
+    lambda_l1: float = 0.8
+    no_shs: bool = False
+    no_opacity: bool = False
+    no_scaling: bool = False
+    use_mask: bool = False
+    # densify (demo.yaml:55-62)
+    use_densify: bool = True
+    densify_until_iter: int = 100
+    densify_from_iter: int = 0
+    densification_interval: int = 20
+    densify_grad_threshold: float = 0.00015
+    min_opacity: float = 0.005
+    percent_dense: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-15
+
+    def lr_for(self, name: str) -> float:
+        return {
+            "xyz": self.position_lr,
+            "rotation": self.rotation_lr,
+            "shs": self.feature_lr,
+            "opacity": self.opacity_lr,
+            "scaling": self.scaling_lr,
+        }[name]
+
+    def trains(self, name: str) -> bool:
+        if name == "shs":
+            return not self.no_shs
+        if name == "opacity":
+            return not self.no_opacity
+        if name == "scaling":
+            return not self.no_scaling
+        return True  # xyz, rotation always train
+
+
+@struct.dataclass
+class RefineState:
+    gaussians: Gaussians
+    adam_m: dict  # name → array like param
+    adam_v: dict
+    step: jnp.ndarray  # () int32
+    max_radii2d: jnp.ndarray  # (N,) f32
+    xyz_grad_accum: jnp.ndarray  # (N,) f32
+    denom: jnp.ndarray  # (N,) f32
+    rng: jnp.ndarray  # PRNG key for split sampling
+
+
+def init_refine_state(
+    gaussians: Gaussians, capacity: int, seed: int = 0
+) -> RefineState:
+    """load_fromstream equivalent: pad to capacity, zero Adam moments."""
+    g = gaussians.pad_to(capacity)
+    zeros_like = lambda name: jnp.zeros_like(getattr(g, name))
+    return RefineState(
+        gaussians=g,
+        adam_m={k: zeros_like(k) for k in TRAINABLE},
+        adam_v={k: zeros_like(k) for k in TRAINABLE},
+        step=jnp.zeros((), jnp.int32),
+        max_radii2d=jnp.zeros(capacity, jnp.float32),
+        xyz_grad_accum=jnp.zeros(capacity, jnp.float32),
+        denom=jnp.zeros(capacity, jnp.float32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings):
+    params = {k: getattr(gaussians, k) for k in TRAINABLE}
+    n = gaussians.num_capacity
+    m2o = jnp.zeros((n, 2), jnp.float32)
+
+    def loss_fn(params, m2o):
+        g = gaussians.replace(**params)
+        out = rasterize(
+            means3d=g.get_xyz,
+            opacity=g.get_opacity,
+            scaling=g.get_scaling,
+            rotation=g.get_rotation,
+            camera=camera,
+            shs=g.shs,
+            bg=bg,
+            means2d_offset=m2o,
+            valid=g.valid,
+            settings=settings,
+        )
+        img = out["color"]
+        s, _ = ssim(img, gt_image)
+        loss = cfg.lambda_l1 * l1_loss(img, gt_image) + (1 - cfg.lambda_l1) * (
+            1.0 - s
+        )
+        mse = jnp.mean((img - gt_image) ** 2)
+        return loss, (out["radii"], mse)
+
+    (loss, (radii, mse)), (grads, g_m2o) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, m2o)
+    return loss, grads, g_m2o, radii, mse
+
+
+def refine_step(
+    state: RefineState,
+    camera: Camera,
+    gt_image: jnp.ndarray,  # (3, H, W)
+    bg: jnp.ndarray,
+    cfg: RefineConfig,
+    settings: RasterSettings,
+    do_densify_stats: bool = True,
+):
+    """One optimization iteration (infer_batch.py:279-324, minus densify)."""
+    g = state.gaussians
+    loss, grads, g_m2o, radii, mse = _loss_and_grads(
+        g, camera, gt_image, bg, cfg, settings
+    )
+
+    # gradient gating: dead rows, frozen groups, (optionally) static region
+    gate = g.valid
+    if cfg.use_mask and g.mask is not None:
+        gate = gate & g.mask
+    gatef = gate.astype(jnp.float32)
+
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+    new_params, new_m, new_v = {}, {}, {}
+    for name in TRAINABLE:
+        p = getattr(g, name)
+        gr = grads[name] * gatef.reshape((-1,) + (1,) * (p.ndim - 1))
+        m = cfg.beta1 * state.adam_m[name] + (1 - cfg.beta1) * gr
+        v = cfg.beta2 * state.adam_v[name] + (1 - cfg.beta2) * gr * gr
+        mhat = m / (1 - cfg.beta1**t)
+        vhat = v / (1 - cfg.beta2**t)
+        upd = cfg.lr_for(name) * mhat / (jnp.sqrt(vhat) + cfg.eps)
+        if not cfg.trains(name):
+            upd = jnp.zeros_like(upd)
+        new_params[name] = p - upd
+        new_m[name] = m
+        new_v[name] = v
+
+    new_g = g.replace(**new_params)
+
+    if do_densify_stats:
+        vis = (radii > 0) & g.valid
+        max_radii = jnp.where(
+            vis, jnp.maximum(state.max_radii2d, radii.astype(jnp.float32)),
+            state.max_radii2d,
+        )
+        gnorm = jnp.linalg.norm(g_m2o, axis=-1)
+        accum = state.xyz_grad_accum + jnp.where(vis, gnorm, 0.0)
+        denom = state.denom + vis.astype(jnp.float32)
+    else:
+        max_radii, accum, denom = (
+            state.max_radii2d, state.xyz_grad_accum, state.denom
+        )
+
+    new_state = state.replace(
+        gaussians=new_g,
+        adam_m=new_m,
+        adam_v=new_v,
+        step=step,
+        max_radii2d=max_radii,
+        xyz_grad_accum=accum,
+        denom=denom,
+    )
+    return new_state, {"loss": loss, "psnr": -10 * jnp.log10(mse)}
+
+
+def _scatter_rows(g: Gaussians, state_m, state_v, src_mask, make_row_fn, rng):
+    """Scatter rows derived from ``src_mask`` rows into dead slots.
+
+    Returns updated (gaussians, adam_m, adam_v, n_added). Drops overflow
+    beyond free capacity (the max-points bound, gaussian_model.py:645-651).
+    """
+    n = g.num_capacity
+    free = ~g.valid
+    # rank of each free slot among free slots / each source among sources
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    src_rank = jnp.cumsum(src_mask.astype(jnp.int32)) - 1
+    num_free = jnp.sum(free.astype(jnp.int32))
+    num_src = jnp.sum(src_mask.astype(jnp.int32))
+    n_add = jnp.minimum(num_free, num_src)
+
+    # destination slot for source-rank r = index of r-th free slot;
+    # out-of-bounds index n + mode="drop" drops non-taken/overflow rows.
+    free_idx = jnp.nonzero(free, size=n, fill_value=n - 1)[0]
+    take = src_mask & (src_rank < n_add)
+    dest = jnp.where(take, free_idx[jnp.clip(src_rank, 0, n - 1)], n)
+
+    new_rows = make_row_fn(g, rng)  # dict name → (N, ·) candidate rows
+
+    scatter = lambda arr, rows: arr.at[dest].set(rows, mode="drop")
+    g2 = g.replace(
+        xyz=scatter(g.xyz, new_rows["xyz"]),
+        opacity=scatter(g.opacity, new_rows["opacity"]),
+        rotation=scatter(g.rotation, new_rows["rotation"]),
+        scaling=scatter(g.scaling, new_rows["scaling"]),
+        shs=scatter(g.shs, new_rows["shs"]),
+        valid=g.valid.at[dest].set(True, mode="drop"),
+        # clones/splits inherit the source row's dynamic-region bit
+        mask=None if g.mask is None else scatter(g.mask, g.mask),
+    )
+    zero = lambda arr: arr.at[dest].set(jnp.zeros_like(arr), mode="drop")
+    m2 = {k: zero(v) for k, v in state_m.items()}
+    v2 = {k: zero(v) for k, v in state_v.items()}
+    return g2, m2, v2, n_add
+
+
+def densify_and_prune(
+    state: RefineState,
+    cfg: RefineConfig,
+    extent: jnp.ndarray,  # scene radius (infer_batch.py:320 batch["radius"])
+) -> RefineState:
+    """Max-bounded densify (clone+split) then opacity prune.
+
+    Parity: gaussian_model.py:640-666 with control_max=True and
+    max_screen_size=None (the streaming-refine call, infer_batch.py:316-320).
+    """
+    g = state.gaussians
+    n = g.num_capacity
+    grads = jnp.where(state.denom > 0, state.xyz_grad_accum / state.denom, 0.0)
+
+    selected = (grads >= cfg.densify_grad_threshold) & g.valid
+    scale_max = jnp.max(g.get_scaling, axis=1)
+    is_big = scale_max > cfg.percent_dense * extent
+
+    # --- clone (small gaussians; inert when percent_dense == 0) ----------
+    clone_sel = selected & ~is_big
+
+    def clone_rows(gg, rng):
+        return {
+            "xyz": gg.xyz,
+            "opacity": gg.opacity,
+            "rotation": gg.rotation,
+            "scaling": gg.scaling,
+            "shs": gg.shs,
+        }
+
+    rng, k1, k2a, k2b = jax.random.split(state.rng, 4)
+    g, m, v, _ = _scatter_rows(
+        g, state.adam_m, state.adam_v, clone_sel, clone_rows, k1
+    )
+
+    # --- split (big gaussians): N=2 — one new sampled row scattered into a
+    # free slot, and the original row REPLACED by the second sample with
+    # scale/(0.8·N) (equivalent to add-2-then-prune-original,
+    # gaussian_model.py:586-615, with one fewer slot churn).
+    split_sel = selected & is_big
+
+    def split_sample(gg, key):
+        std = gg.get_scaling
+        eps = jax.random.normal(key, (n, 3))
+        rot = quat_to_rotmat(gg.rotation, normalize=True)
+        offset = jnp.einsum("nij,nj->ni", rot, eps * std)
+        new_scaling = jnp.log(gg.get_scaling / (0.8 * 2))
+        return {
+            "xyz": gg.xyz + offset,
+            "opacity": gg.opacity,
+            "rotation": gg.rotation,
+            "scaling": new_scaling,
+            "shs": gg.shs,
+        }
+
+    g, m, v, _ = _scatter_rows(
+        g, m, v, split_sel, lambda gg, r: split_sample(gg, k2a), k2a
+    )
+    # replace originals in place with the second sample
+    rows_b = split_sample(g, k2b)
+    sel3 = split_sel.reshape(-1, 1)
+    g = g.replace(
+        xyz=jnp.where(sel3, rows_b["xyz"], g.xyz),
+        scaling=jnp.where(sel3, rows_b["scaling"], g.scaling),
+    )
+    # reset moments of re-split originals (they were pruned+readded in ref)
+    m = {
+        k: jnp.where(
+            split_sel.reshape((-1,) + (1,) * (arr.ndim - 1)), 0.0, arr
+        )
+        for k, arr in m.items()
+    }
+    v = {
+        k: jnp.where(
+            split_sel.reshape((-1,) + (1,) * (arr.ndim - 1)), 0.0, arr
+        )
+        for k, arr in v.items()
+    }
+
+    # --- prune: opacity below threshold (size pruning off in streaming) --
+    keep = g.get_opacity[:, 0] >= cfg.min_opacity
+    g = g.replace(valid=g.valid & keep)
+
+    return state.replace(
+        gaussians=g,
+        adam_m=m,
+        adam_v=v,
+        max_radii2d=jnp.zeros_like(state.max_radii2d),
+        xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
+        denom=jnp.zeros_like(state.denom),
+        rng=rng,
+    )
+
+
+def convert2stream(state: RefineState) -> Gaussians:
+    """Back to the stream representation (gaussian_model.py:350-367)."""
+    return state.gaussians

@@ -1,0 +1,120 @@
+"""Key-frame refine loop tests: optimization progress, densify, prune."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from igs_tpu.ops.rasterize import RasterSettings, rasterize
+from igs_tpu.stream.refine import (
+    RefineConfig, densify_and_prune, init_refine_state, refine_step,
+    convert2stream,
+)
+from tests.conftest import make_camera, random_gaussians
+
+SET = RasterSettings(
+    image_height=32, image_width=32, impl="tiles",
+    max_pairs=1 << 14, max_per_tile=256, chunk=64,
+)
+
+
+def _render(g, cam):
+    return rasterize(
+        means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+        rotation=g.get_rotation, camera=cam, shs=g.shs, valid=g.valid,
+        settings=SET,
+    )["color"]
+
+
+class TestRefineStep:
+    def test_loss_decreases(self):
+        cam = make_camera(height=32, width=32)
+        target_g = random_gaussians(n=64, seed=0)
+        gt = _render(target_g, cam)
+
+        # perturb xyz, then refine back toward the target
+        start_g = target_g.replace(
+            xyz=target_g.xyz
+            + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+        )
+        cfg = RefineConfig(use_densify=False, position_lr=0.01)
+        state = init_refine_state(start_g, capacity=64)
+        bg = jnp.zeros(3)
+
+        step = jax.jit(
+            lambda s: refine_step(s, cam, gt, bg, cfg, SET),
+        )
+        losses = []
+        for _ in range(20):
+            state, metrics = step(state)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_frozen_groups(self):
+        cam = make_camera(height=32, width=32)
+        g = random_gaussians(n=32, seed=2)
+        gt = jnp.zeros((3, 32, 32))
+        cfg = RefineConfig(no_shs=True, no_opacity=True, no_scaling=True)
+        state = init_refine_state(g, capacity=32)
+        state2, _ = refine_step(state, cam, gt, jnp.zeros(3), cfg, SET)
+        np.testing.assert_array_equal(
+            np.asarray(state2.gaussians.shs), np.asarray(g.shs))
+        np.testing.assert_array_equal(
+            np.asarray(state2.gaussians.opacity), np.asarray(g.opacity))
+        np.testing.assert_array_equal(
+            np.asarray(state2.gaussians.scaling), np.asarray(g.scaling))
+        assert np.abs(
+            np.asarray(state2.gaussians.xyz) - np.asarray(g.xyz)).max() > 0
+
+    def test_densify_stats_accumulate(self):
+        cam = make_camera(height=32, width=32)
+        g = random_gaussians(n=32, seed=3)
+        gt = jnp.zeros((3, 32, 32))
+        state = init_refine_state(g, capacity=32)
+        state, _ = refine_step(state, cam, gt, jnp.zeros(3),
+                               RefineConfig(), SET)
+        assert float(state.denom.max()) >= 1
+        assert float(state.xyz_grad_accum.max()) > 0
+
+
+class TestDensify:
+    def test_split_fills_free_slots(self):
+        g = random_gaussians(n=16, seed=4).pad_to(32)
+        state = init_refine_state(g, capacity=32)
+        # fake large accumulated gradients on first 4 valid rows
+        accum = jnp.zeros(32).at[:4].set(1.0)
+        state = state.replace(xyz_grad_accum=accum,
+                              denom=jnp.ones(32))
+        cfg = RefineConfig(densify_grad_threshold=0.5, min_opacity=0.0)
+        state2 = densify_and_prune(state, cfg, extent=jnp.float32(1.0))
+        n_before = 16
+        n_after = int(state2.gaussians.num_valid)
+        assert n_after == n_before + 4  # one extra per split row
+        # split rows got smaller scales
+        s_old = np.asarray(jnp.exp(g.scaling[:4]))
+        s_new = np.asarray(jnp.exp(state2.gaussians.scaling[:4]))
+        np.testing.assert_allclose(s_new, s_old / 1.6, rtol=1e-5)
+
+    def test_capacity_bound(self):
+        g = random_gaussians(n=30, seed=5).pad_to(32)
+        state = init_refine_state(g, capacity=32)
+        state = state.replace(
+            xyz_grad_accum=jnp.ones(32), denom=jnp.ones(32))
+        cfg = RefineConfig(densify_grad_threshold=0.5, min_opacity=0.0)
+        state2 = densify_and_prune(state, cfg, extent=jnp.float32(1.0))
+        assert int(state2.gaussians.num_valid) <= 32
+
+    def test_opacity_prune(self):
+        g = random_gaussians(n=16, seed=6)
+        g = g.replace(opacity=g.opacity.at[:8].set(-10.0))  # σ ≈ 0
+        state = init_refine_state(g, capacity=16)
+        cfg = RefineConfig(densify_grad_threshold=1e9, min_opacity=0.005)
+        state2 = densify_and_prune(state, cfg, extent=jnp.float32(1.0))
+        assert int(state2.gaussians.num_valid) == 8
+        assert not bool(state2.gaussians.valid[0])
+
+    def test_convert2stream(self):
+        g = random_gaussians(n=8, seed=7)
+        state = init_refine_state(g, capacity=16)
+        out = convert2stream(state)
+        assert out.num_capacity == 16
+        assert int(out.num_valid) == 8
