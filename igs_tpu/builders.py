@@ -1,0 +1,100 @@
+"""Builders: reference YAML config sections → framework objects.
+
+Bridges the reference's class-string wiring (configs/train.yaml,
+configs/demo.yaml) to this framework's modules so the original configs run
+unmodified: system.* → AGMNet, data.* → datasets, opt.* → optimizer /
+stream / refine configs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import igs_tpu
+from igs_tpu.config import ExperimentConfig
+from igs_tpu.models.agm import AGMNet
+from igs_tpu.ops.rasterize import RasterSettings
+from igs_tpu.stream.pipeline import StreamConfig
+from igs_tpu.stream.refine import RefineConfig
+from igs_tpu.train.driver import OptConfig
+
+
+def build_model(system: Dict[str, Any]) -> AGMNet:
+    """system section (configs/train.yaml) → AGMNet."""
+    backbone = system.get("backbone", {})
+    transformer = system.get("transformer", {})
+    enc = system.get("triplane_encoder", {})
+    enc_unet = enc.get("unet", {})
+    return AGMNet(
+        feature_channels=backbone.get("feature_channels", 128),
+        backbone_layers=backbone.get("transformer", {}).get("num_layers", 6),
+        motion_layers=transformer.get("num_layers", 1),
+        up_sample=system.get("up_sample", True),
+        use_condition3d=system.get("use_condition3d", True),
+        local_ray=system.get("local_ray", True),
+        fine_tune_backbone=system.get("fine_tune_backbone", True),
+        encoder_heads=enc_unet.get("num_attention_heads", 8),
+        encoder_head_dim=enc_unet.get("attention_head_dim", 64),
+        encoder_layers=enc_unet.get("num_layers", 4),
+    )
+
+
+def build_dataset(data_cfg: Dict[str, Any], training: bool):
+    cls = igs_tpu.find(data_cfg.get("data_cls", "igs.data.data.N3dDataset"))
+    return cls(data_cfg["data"], training=training)
+
+
+def build_raster_settings(
+    height: int, width: int, clamp: bool = True,
+    max_pairs: int = 2**21, max_per_tile: int = 4096,
+) -> RasterSettings:
+    return RasterSettings(
+        image_height=height, image_width=width, impl="tiles",
+        max_pairs=max_pairs, max_per_tile=max_per_tile,
+        clamp_grads=clamp,
+    )
+
+
+def build_opt_config(opt: Dict[str, Any]) -> OptConfig:
+    return OptConfig(
+        lr=float(opt.get("lr", 4e-4)),
+        num_epochs=int(opt.get("num_epochs", 30)),
+        gradient_clip=float(opt.get("gradient_clip", 1.0)),
+        lambda_rgb=float(opt.get("lambda_rgb", 1.0)),
+        lambda_ssim=float(opt.get("lambda_ssim", 0.2)),
+        lambda_lpips=float(opt.get("lambda_lpips", 0.0)),
+    )
+
+
+def build_stream_configs(
+    opt: Dict[str, Any]
+) -> Tuple[StreamConfig, RefineConfig]:
+    lrs = opt.get("training_lr", {})
+    item = opt.get("refine_item", {})
+    stream = StreamConfig(
+        eval_batch_size=int(opt.get("eval_batch_size", 5)),
+        refine_gs=bool(opt.get("refine_gs", True)),
+        refine_iterations=int(opt.get("refine_iterations", 50)),
+        use_densify=bool(opt.get("use_densify", True)),
+        max_num=int(opt.get("max_num", 150_000)),
+        free_view=bool(opt.get("free_view", False)),
+        workspace=str(opt.get("workspace", "logs/igs_tpu/stream")),
+    )
+    refine = RefineConfig(
+        position_lr=float(lrs.get("position_lr_init", 0.0016)),
+        feature_lr=float(lrs.get("feature_lr", 0.0025)),
+        opacity_lr=float(lrs.get("opacity_lr", 0.05)),
+        scaling_lr=float(lrs.get("scaling_lr", 0.005)),
+        rotation_lr=float(lrs.get("rotation_lr", 0.01)),
+        lambda_l1=float(opt.get("lambda_l1", 0.8)),
+        no_shs=bool(item.get("no_shs", False)),
+        no_opacity=bool(item.get("no_opacity", False)),
+        no_scaling=bool(item.get("no_scaling", False)),
+        use_mask=bool(item.get("use_mask", False)),
+        use_densify=bool(opt.get("use_densify", True)),
+        densify_until_iter=int(opt.get("densify_until_iter", 100)),
+        densify_from_iter=int(opt.get("densify_from_iter", 0)),
+        densification_interval=int(opt.get("densification_interval", 20)),
+        densify_grad_threshold=float(opt.get("densify_grad_threshold", 0.00015)),
+    )
+    return stream, refine

@@ -87,3 +87,77 @@ def build_tile_pairs(
 
 def image_tile_grid(height: int, width: int) -> tuple[int, int]:
     return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
+
+
+def build_tile_lists_compact(
+    proj: ProjectedGaussians, grid_x: int, grid_y: int, max_per_tile: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-free binning: per-tile depth-ordered Gaussian lists by compaction.
+
+    XLA's O(n log² n) bitonic sort dominates the sort-based pipeline on TPU
+    (≈0.5 s at a 2M-pair budget); this path instead depth-sorts the N
+    Gaussians once (cheap) and, for every tile, compacts the indices of
+    covering Gaussians with a masked cumsum + scatter — O(T·N/row) work on
+    the VPU, no global pair sort. Two levels (tile rows, then tiles) keep
+    the mask matrices small.
+
+    Returns (idx_table (T, max_per_tile) int32 gaussian ids, -1 padded;
+             counts (T,)). Lists are depth-ordered with ties by original
+    index — identical order to the CUDA radix sort (rasterizer_impl.cu:373).
+    """
+    n = proj.depth.shape[0]
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # stable
+    rmin = proj.rect_min[order]  # (N, 2)
+    rmax = proj.rect_max[order]
+
+    # level 1: per tile-row compaction (rows are few; budget is generous)
+    max_per_row = min(n, max_per_tile * grid_x)
+    rows = jnp.arange(grid_y, dtype=jnp.int32)
+    row_mask = (rows[:, None] >= rmin[None, :, 1]) & (
+        rows[:, None] < rmax[None, :, 1]
+    )  # (R, N)
+
+    def compact(mask_row, budget):
+        # indices (in depth order) of True entries, padded with n
+        csum = jnp.cumsum(mask_row.astype(jnp.int32))
+        count = csum[-1]
+        pos = jnp.where(mask_row, csum - 1, budget)
+        out = jnp.full(budget, n, jnp.int32).at[
+            jnp.minimum(pos, budget)
+        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        return out, jnp.minimum(count, budget)
+
+    row_lists, row_counts = jax.vmap(lambda m: compact(m, max_per_row))(
+        row_mask
+    )  # (R, max_per_row), (R,)
+
+    # level 2: per tile compaction from its row's list
+    rmin_x_pad = jnp.concatenate([rmin[:, 0], jnp.array([grid_x], jnp.int32)])
+    rmax_x_pad = jnp.concatenate([rmax[:, 0], jnp.array([-1, ] , jnp.int32)])
+
+    def tile_level(row_list, _row_count):
+        gx_min = rmin_x_pad[row_list]  # (max_per_row,)
+        gx_max = rmax_x_pad[row_list]
+        cols = jnp.arange(grid_x, dtype=jnp.int32)
+        mask = (cols[:, None] >= gx_min[None, :]) & (
+            cols[:, None] < gx_max[None, :]
+        )  # (grid_x, max_per_row)
+
+        def per_tile(m):
+            csum = jnp.cumsum(m.astype(jnp.int32))
+            pos = jnp.where(m, csum - 1, max_per_tile)
+            out = jnp.full(max_per_tile, n, jnp.int32).at[
+                jnp.minimum(pos, max_per_tile)
+            ].set(row_list, mode="drop")
+            return out, jnp.minimum(csum[-1], max_per_tile)
+
+        return jax.vmap(per_tile)(mask)
+
+    tile_lists, tile_counts = jax.vmap(tile_level)(row_lists, row_counts)
+    tile_lists = tile_lists.reshape(grid_y * grid_x, max_per_tile)
+    tile_counts = tile_counts.reshape(grid_y * grid_x)
+    # translate depth-order index → original gaussian id; n sentinel → -1
+    order_pad = jnp.concatenate([order.astype(jnp.int32), jnp.array([-1], jnp.int32)])
+    idx_table = order_pad[tile_lists]
+    return idx_table, tile_counts

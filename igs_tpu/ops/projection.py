@@ -64,7 +64,19 @@ def compute_cov3d(scaling: jnp.ndarray, rotation: jnp.ndarray, modifier: float =
     """
     r = quat_to_rotmat(rotation, normalize=False)  # (N,3,3)
     s2 = jnp.square(modifier * scaling)  # (N,3)
-    return jnp.einsum("nij,nj,nkj->nik", r, s2, r)  # R diag(s²) Rᵀ
+    # explicit Σ_ij = Σ_k r_ik s²_k r_jk — pure VPU math; the batched-3×3
+    # einsum form lowers to padded tiny dot_generals on TPU (slow).
+    rs = r * s2[:, None, :]  # (N,3,3) r_ik·s²_k
+    return _sym_outer(rs, r)
+
+
+def _sym_outer(a, b):
+    """(N,3,3)·(N,3,3)ᵀ contracted over last axis, componentwise."""
+    out = [
+        [jnp.sum(a[:, i, :] * b[:, j, :], axis=-1) for j in range(3)]
+        for i in range(3)
+    ]
+    return jnp.stack([jnp.stack(row, -1) for row in out], -2)
 
 
 def project(
@@ -109,7 +121,9 @@ def project(
     tx, ty = txtz * tz, tytz * tz  # clamped camera coords
 
     r_view = wvt[:3, :3].T  # w2c rotation, math convention
-    sigma_cam = jnp.einsum("ij,njk,lk->nil", r_view, cov3d, r_view)
+    # sandwich with a shared 3×3 in broadcast form (VPU, no dot_general)
+    tmp = jnp.sum(r_view[None, :, :, None] * cov3d[:, None, :, :], axis=2)
+    sigma_cam = jnp.sum(tmp[:, :, None, :] * r_view[None, None, :, :], axis=3)
 
     inv_tz = 1.0 / tz_safe
     inv_tz2 = inv_tz * inv_tz
@@ -149,15 +163,16 @@ def project(
     s2 = jnp.square(scale_modifier * scaling)
     well = jnp.min(s2, axis=1) > 1e-8
     inv_s2 = 1.0 / jnp.maximum(s2, 1e-30)
-    vrk_inv_full = jnp.einsum("nij,nj,nkj->nik", r_mat, inv_s2, r_mat)
+    vrk_inv_full = _sym_outer(r_mat * inv_s2[:, None, :], r_mat)
     min_idx = jnp.argmin(s2, axis=1)
     e_min = jnp.take_along_axis(r_mat, min_idx[:, None, None], axis=2)[..., 0]
     vrk_inv_rank1 = e_min[:, :, None] * e_min[:, None, :]
     vrk_inv = jnp.where(well[:, None, None], vrk_inv_full, vrk_inv_rank1)
 
-    cov_cam_inv = jnp.einsum("ij,njk,lk->nil", r_view, vrk_inv, r_view)
+    tmp2 = jnp.sum(r_view[None, :, :, None] * vrk_inv[:, None, :, :], axis=2)
+    cov_cam_inv = jnp.sum(tmp2[:, :, None, :] * r_view[None, None, :, :], axis=3)
     uvh = jnp.stack([txtz, tytz, jnp.ones_like(txtz)], axis=-1)
-    uvh_m = jnp.einsum("nij,nj->ni", cov_cam_inv, uvh)
+    uvh_m = jnp.sum(cov_cam_inv * uvh[:, None, :], axis=-1)
     geom_ok = safe_norm(uvh_m) > 1e-30  # reference zeroes planes on NaN normalize
     uvh_mn = safe_normalize(uvh_m)
 

@@ -44,6 +44,7 @@ class RasterSettings(NamedTuple):
     max_per_tile: int = 4096
     chunk: int = 256
     impl: str = "tiles"  # "tiles" | "reference"
+    binning: str = "compact"  # "compact" (sort-free) | "sort"
     clamp_grads: bool = False
     clamp_value: float = 15.0
 
@@ -87,18 +88,19 @@ def _rasterize_impl(
     if settings.impl == "reference":
         out = render_reference(proj, h, w, fx, fy, bg)
     else:
+        from igs_tpu.ops.binning import build_tile_lists_compact
+        from igs_tpu.ops.render_tiles import pairs_to_idx_table
+
         grid_x, grid_y = image_tile_grid(h, w)
-        pairs = build_tile_pairs(proj, grid_x, grid_y, settings.max_pairs)
+        if settings.binning == "compact":
+            idx_table, _ = build_tile_lists_compact(
+                proj, grid_x, grid_y, settings.max_per_tile
+            )
+        else:
+            pairs = build_tile_pairs(proj, grid_x, grid_y, settings.max_pairs)
+            idx_table = pairs_to_idx_table(pairs, settings.max_per_tile)
         out = render_tiles(
-            proj,
-            pairs,
-            h,
-            w,
-            fx,
-            fy,
-            bg,
-            max_per_tile=settings.max_per_tile,
-            chunk=settings.chunk,
+            proj, idx_table, h, w, fx, fy, bg, chunk=settings.chunk
         )
     return out, proj
 

@@ -172,29 +172,31 @@ def _blend_chunk(carry, feats, pixf, contrib_base):
     )
 
 
+def pairs_to_idx_table(pairs: TilePairs, max_per_tile: int) -> jnp.ndarray:
+    """(T, max_per_tile) per-tile gaussian-id table from sorted pairs."""
+    j = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gather_pos = pairs.tile_start[:, None] + j[None, :]
+    in_range = j[None, :] < pairs.tile_count[:, None]
+    gather_pos = jnp.minimum(gather_pos, pairs.gauss_id.shape[0] - 1)
+    return jnp.where(in_range, pairs.gauss_id[gather_pos], -1)
+
+
 def render_tiles(
     proj: ProjectedGaussians,
-    pairs: TilePairs,
+    idx_table: jnp.ndarray,  # (T, max_per_tile) gaussian ids, -1 padded
     height: int,
     width: int,
     focal_x,
     focal_y,
     bg: jnp.ndarray,
-    max_per_tile: int = 4096,
     chunk: int = 256,
 ) -> RenderOutputs:
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
     num_tiles = grid_x * grid_y
     p = TILE_X * TILE_Y
+    max_per_tile = idx_table.shape[1]
     n_chunks = max(1, max_per_tile // chunk)
-
-    # per-tile index table (T, max_per_tile); -1 for empty slots
-    j = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gather_pos = pairs.tile_start[:, None] + j[None, :]
-    in_range = j[None, :] < pairs.tile_count[:, None]
-    gather_pos = jnp.minimum(gather_pos, pairs.gauss_id.shape[0] - 1)
-    idx_table = jnp.where(in_range, pairs.gauss_id[gather_pos], -1)
 
     # tile pixel coordinates (T, P, 2)
     tid = jnp.arange(num_tiles, dtype=jnp.int32)

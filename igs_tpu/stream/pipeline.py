@@ -1,0 +1,299 @@
+"""Streaming reconstruction driver — the flagship entry point.
+
+Reference parity: infer_batch.py infer() (SURVEY.md §3.1): batched
+key→candidate AGM inference with precomputed anchors replicated across the
+batch (IGS.py:219-251), state carry (gaussians / predicted depth), per-key-
+frame refinement with optional densify, PSNR bookkeeping, render-only FPS
+probe, free-view export, and the results.json schema
+{psnr:{frame}, avg, total_time, mask_num, points_num, fps,
+ per_frame_times, AGM_times} (infer_batch.py:400-416).
+
+TPU-first: three jitted programs — anchor precompute, AGM forward, refine
+step — each with static shapes (fixed Gaussian capacity, fixed batch of
+candidate frames). Host work is only file IO and loop control.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from igs_tpu.core.camera import Camera
+from igs_tpu.core.gaussians import Gaussians
+from igs_tpu.models.agm import AGMNet
+from igs_tpu.ops.anchors import select_anchors
+from igs_tpu.ops.rasterize import RasterSettings, rasterize
+from igs_tpu.stream.refine import (
+    RefineConfig, RefineState, convert2stream, densify_and_prune,
+    init_refine_state, refine_step,
+)
+
+
+@dataclass
+class StreamConfig:
+    eval_batch_size: int = 5
+    refine_gs: bool = True
+    refine_iterations: int = 50
+    use_densify: bool = True
+    densify_until_iter: int = 100
+    densify_from_iter: int = 0
+    densification_interval: int = 20
+    max_num: int = 150_000
+    anchor_size: int = 8192
+    neighbor_k: int = 8
+    free_view: bool = False
+    workspace: str = "logs/igs_tpu/stream"
+    save_images: bool = True
+
+
+class StreamingPipeline:
+    def __init__(
+        self,
+        model: AGMNet,
+        params,
+        dataset,
+        cfg: StreamConfig,
+        refine_cfg: RefineConfig,
+        out_settings: RasterSettings,
+        input_res=(512, 512),
+    ):
+        self.model = model
+        self.params = params
+        self.dataset = dataset
+        self.cfg = cfg
+        self.refine_cfg = refine_cfg
+        self.out_settings = out_settings
+        # refine renders use the same camera intrinsics family; the
+        # reference uses the NON-clamp rasterizer in the refine loop
+        # (infer_batch.py:39-124) and the clamp one inside AGM.
+        self.refine_settings = out_settings._replace(clamp_grads=False)
+        self.agm_settings = out_settings._replace(clamp_grads=True)
+
+        self._agm_apply = jax.jit(
+            lambda params, batch, state, gaussians: model.apply(
+                params, batch, state, gaussians, self.agm_settings
+            )
+        )
+        self._select_anchors = jax.jit(
+            partial(
+                select_anchors,
+                anchor_size=cfg.anchor_size,
+                k=cfg.neighbor_k,
+            )
+        )
+        self._refine_step = jax.jit(
+            lambda state, cam, gt, bg: refine_step(
+                state, cam, gt, bg, self.refine_cfg, self.refine_settings
+            )
+        )
+        self._densify = jax.jit(
+            lambda state, extent: densify_and_prune(
+                state, self.refine_cfg, extent
+            )
+        )
+        self._render_one = jax.jit(self._render_one_impl)
+
+    def _render_one_impl(self, gaussians: Gaussians, camera: Camera, bg):
+        out = rasterize(
+            means3d=gaussians.get_xyz,
+            opacity=gaussians.get_opacity,
+            scaling=gaussians.get_scaling,
+            rotation=gaussians.get_rotation,
+            camera=camera,
+            shs=gaussians.shs,
+            bg=bg,
+            valid=gaussians.valid,
+            settings=self.refine_settings,
+        )
+        return out["color"], out["depth"]
+
+    # ------------------------------------------------------------------
+    def _camera(self, c2w, fov, height, width) -> Camera:
+        return Camera.from_c2w(
+            np.asarray(c2w), (float(fov[0]), float(fov[1])), (height, width)
+        )
+
+    def test_rendering_speed(self, gaussians, batch) -> float:
+        """Render-only FPS over the output views (infer_batch.py:125-145)."""
+        h = w = None
+        cams = []
+        fov = batch["FOV"][0]
+        for i in range(batch["c2w_output"].shape[1]):
+            h, w = self.out_settings.image_height, self.out_settings.image_width
+            cams.append(self._camera(batch["c2w_output"][0, i], fov, h, w))
+        bg = jnp.asarray(batch["background_color"][0])
+        durations = []
+        # warmup compile
+        self._render_one(gaussians, cams[0], bg)[0].block_until_ready()
+        for _ in range(3):
+            for cam in cams:
+                t0 = time.time()
+                self._render_one(gaussians, cam, bg)[0].block_until_ready()
+                durations.append(time.time() - t0)
+        return 1.0 / float(np.mean(durations))
+
+    def _refine(self, stream_gs: Gaussians, refine_data, radius) -> Gaussians:
+        """The key-frame refine loop (infer_batch.py:260-341)."""
+        cfg, rcfg = self.cfg, self.refine_cfg
+        state = init_refine_state(stream_gs, capacity=cfg.max_num)
+        images = list(refine_data["images"])
+        c2ws = list(refine_data["c2ws"])
+        pool_img, pool_cam = [], []
+        fov = refine_data["FOV"]
+        bg = jnp.asarray(refine_data["bg"])
+        rng = np.random.RandomState(0)
+        h, w = images[0].shape[-2:]
+        for it in range(cfg.refine_iterations):
+            if not pool_img:
+                pool_img, pool_cam = list(images), list(c2ws)
+            pick = rng.randint(len(pool_img))
+            gt = jnp.asarray(pool_img.pop(pick))
+            cam = self._camera(pool_cam.pop(pick), fov, h, w)
+            state, _ = self._refine_step(state, cam, gt, bg)
+            if (
+                rcfg.use_densify
+                and it < rcfg.densify_until_iter
+                and it > rcfg.densify_from_iter
+                and it % rcfg.densification_interval == 0
+            ):
+                state = self._densify(state, jnp.float32(radius))
+        return convert2stream(state)
+
+    # ------------------------------------------------------------------
+    def run(self, max_batches: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        ds = self.dataset
+        b = cfg.eval_batch_size
+        if cfg.refine_gs:
+            ds.build_refine_dataset(b)
+        os.makedirs(cfg.workspace, exist_ok=True)
+
+        psnrs: List[float] = []
+        mask_num: List[int] = []
+        points_num: List[int] = []
+        per_frame_times: List[float] = []
+        agm_times: List[float] = []
+        out_images: List[np.ndarray] = []
+        fps = 0.0
+        stream_gs = None
+        depth_pred = None
+        start_gs = None
+
+        total_start = time.time()
+        n_batches = (len(ds) + b - 1) // b
+        if max_batches is not None:
+            n_batches = min(n_batches, max_batches)
+
+        for idx in range(n_batches):
+            items = [ds[i] for i in range(idx * b, min((idx + 1) * b, len(ds)))]
+            batch = ds.collate(items)
+            bsz = batch["cur_images_input"].shape[0]
+
+            if idx == 0:
+                start_gs = batch["gs"][0].pad_to(cfg.max_num)
+                depth = jnp.asarray(batch["depth"])  # (B, V, H, W)
+                fps = self.test_rendering_speed(start_gs, batch)
+            else:
+                depth = jnp.broadcast_to(
+                    depth_pred, (bsz,) + depth_pred.shape[1:]
+                )
+                if batch.get("keyframe") and batch["keyframe"][0] == 1:
+                    start_gs = stream_gs
+
+            t0 = time.time()
+            state1 = self._select_anchors(
+                start_gs.xyz,
+                jnp.asarray(batch["bounding_box"][0]),
+                valid=start_gs.valid,
+            )
+            # replicate anchors + gaussians across the candidate batch
+            state = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (bsz,) + x.shape), state1
+            )
+            gaussians = jax.tree.map(
+                lambda x: (
+                    jnp.broadcast_to(x, (bsz,) + x.shape)
+                    if x is not None
+                    else None
+                ),
+                start_gs,
+            )
+            jbatch = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if isinstance(v, np.ndarray)
+            }
+            jbatch["depth"] = depth
+            out = self._agm_apply(self.params, jbatch, state, gaussians)
+            jax.block_until_ready(out["images_pred"])
+            duration = time.time() - t0
+            agm_times.append(duration)
+            per_frame_times += [duration / bsz] * bsz
+
+            pred = np.clip(np.asarray(out["images_pred"][:, 0]), 0, 1)
+            gt = np.asarray(batch["images_output"][:, 0])
+            mse = ((pred - gt) ** 2).mean(axis=(1, 2, 3))
+            psnrs += (-10 * np.log10(mse)).tolist()
+            out_images.extend(list(pred))
+
+            # carry state: depth at the input views of the LAST frame
+            depth_pred = out["depth_pred"][-1:, 1:]
+            stream_gs = jax.tree.map(
+                lambda x: x[-1] if x is not None else None, out["3dgs"]
+            )
+            mask_num.append(int(jnp.sum(stream_gs.mask)))
+            points_num.append(int(stream_gs.num_valid))
+
+            if cfg.refine_gs:
+                key = (idx + 1) * b
+                if key in getattr(ds, "refine_dataset", set()):
+                    refine_data = ds.get_refine_data(key)
+                    stream_gs = self._refine(
+                        stream_gs, refine_data, batch["radius"][0]
+                    )
+                    start_gs = stream_gs
+                    # re-render the eval view with refined gaussians
+                    cam = self._camera(
+                        batch["c2w_output"][-1, 0], batch["FOV"][0],
+                        self.out_settings.image_height,
+                        self.out_settings.image_width,
+                    )
+                    img, _ = self._render_one(
+                        stream_gs, cam, jnp.asarray(batch["background_color"][0])
+                    )
+                    img = np.clip(np.asarray(img), 0, 1)
+                    mse = ((img - gt[-1]) ** 2).mean()
+                    psnrs[-1] = float(-10 * np.log10(mse))
+                    out_images[-1] = img
+
+        total_time = time.time() - total_start
+        results = {
+            "psnr": {f"frame_{i}": p for i, p in enumerate(psnrs)},
+            "avg": float(np.mean(psnrs)) if psnrs else 0.0,
+            "total_time": total_time,
+            "sec/frame": total_time / max(len(psnrs), 1),
+            "mask_num": mask_num,
+            "points_num": points_num,
+            "fps": fps,
+            "per_frame_times": per_frame_times,
+            "AGM_times": agm_times,
+        }
+        with open(os.path.join(cfg.workspace, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        if cfg.save_images:
+            from PIL import Image
+
+            img_dir = os.path.join(cfg.workspace, "eval_pred")
+            os.makedirs(img_dir, exist_ok=True)
+            for i, img in enumerate(out_images):
+                arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(img_dir, f"{i:05d}.png"))
+        return results

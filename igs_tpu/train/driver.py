@@ -1,0 +1,167 @@
+"""AGM-Net training driver: AdamW + OneCycle, data-parallel over a mesh.
+
+Reference parity: main.py (SURVEY.md §3.4):
+  * AdamW(lr 4e-4, wd 0.05, betas (0.9, 0.95)) over trainable params only
+    (backbone frozen), OneCycleLR with 3000-step warmup (main.py:176-194).
+  * loss = λ_rgb·L1 + λ_ssim·(1−SSIM) [+ λ_lpips·LPIPS] (main.py:252-275).
+  * grad-clip global norm 1.0 (main.py:293-298).
+  * DP gradient all-reduce — here implicit: the batch is sharded over the
+    mesh ``data`` axis and params are replicated, so XLA emits the psum
+    over ICI during backward (replacing accelerate/DDP/NCCL).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from igs_tpu.models.agm import AGMNet
+from igs_tpu.ops.rasterize import RasterSettings
+from igs_tpu.train.losses import l1_loss, psnr as psnr_fn, ssim
+
+
+@dataclass
+class OptConfig:
+    """Parity: main.py OptConfig defaults (main.py:62-116)."""
+
+    lr: float = 4e-4
+    weight_decay: float = 0.05
+    beta1: float = 0.9
+    beta2: float = 0.95
+    num_epochs: int = 30
+    warmup_steps: int = 3000
+    gradient_clip: float = 1.0
+    lambda_rgb: float = 1.0
+    lambda_ssim: float = 0.2
+    lambda_lpips: float = 0.0
+
+
+def onecycle_schedule(max_lr: float, total_steps: int, warmup_steps: int = 3000):
+    """torch OneCycleLR parity: cosine anneal up then down.
+
+    pct_start = warmup/total (main.py:192); initial lr = max_lr/25,
+    final lr = max_lr/1e4 (torch defaults div_factor=25,
+    final_div_factor=1e4).
+    """
+    warmup_steps = min(warmup_steps, max(total_steps - 1, 1))
+    up = optax.cosine_onecycle_schedule  # matches torch's cos annealing
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=warmup_steps / total_steps,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+
+
+def trainable_mask(params) -> Any:
+    """Freeze the GMFlow backbone (IGS.py:75-77, state_dict strips it)."""
+    def mask_fn(path, _):
+        return "backbone" not in jax.tree_util.keystr(path)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(params, cfg: OptConfig, total_steps: int):
+    sched = onecycle_schedule(cfg.lr, total_steps, cfg.warmup_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip),
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    tx = optax.masked(tx, trainable_mask(params))
+    return tx, sched
+
+
+def compute_loss(out: Dict, gt_images: jnp.ndarray, cfg: OptConfig):
+    """main.py:252-275."""
+    pred = out["images_pred"]  # (B, V, 3, H, W)
+    loss = 0.0
+    metrics = {}
+    if cfg.lambda_rgb > 0:
+        lm = l1_loss(pred, gt_images)
+        metrics["loss_mse"] = lm
+        loss = loss + cfg.lambda_rgb * lm
+    if cfg.lambda_ssim > 0:
+        b, v = pred.shape[:2]
+        s, _ = ssim(pred.reshape(b * v, *pred.shape[2:]),
+                    gt_images.reshape(b * v, *gt_images.shape[2:]))
+        metrics["loss_ssim"] = 1.0 - s
+        loss = loss + cfg.lambda_ssim * (1.0 - s)
+    metrics["psnr"] = psnr_fn(jax.lax.stop_gradient(pred), gt_images)
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(
+    model: AGMNet,
+    tx,
+    cfg: OptConfig,
+    settings: RasterSettings,
+    mesh=None,
+):
+    """Build the jitted DP train step.
+
+    With a mesh, the batch/anchors/gaussians carry a leading ``data``-sharded
+    axis and params are replicated; XLA inserts the gradient all-reduce.
+    """
+
+    def step(params, opt_state, batch, anchor_state, gaussians):
+        def loss_fn(p):
+            out = model.apply(p, batch, anchor_state, gaussians, settings)
+            return compute_loss(out, batch["images_output"], cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    repl = NamedSharding(mesh, P())
+    # params/opt_state replicated; batch/anchors/gaussians keep whatever
+    # (data[, tile]) placement the caller chose — XLA inserts the psum.
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, None, None, None),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
+    """Orbax-free checkpointing: a single msgpack via flax serialization."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes({"params": params, "step": step}))
+    if opt_state is not None:
+        with open(path + ".opt", "wb") as f:
+            f.write(serialization.to_bytes(opt_state))
+
+
+def load_checkpoint(path: str, params_template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = serialization.from_bytes(
+            {"params": params_template, "step": 0}, f.read()
+        )
+    return blob["params"], blob["step"]

@@ -1,0 +1,111 @@
+"""Streaming reconstruction — reference parity: infer_batch.py.
+
+Usage:
+    python infer_stream.py --config configs/demo.yaml [dot.list=overrides]
+
+Loads the starting Gaussians + eval stream, runs batched key→candidate
+AGM inference with per-key-frame refinement, writes results.json and
+predicted eval-view PNGs into opt.workspace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-batches", type=int, default=None)
+    args, extras = ap.parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from igs_tpu.builders import (
+        build_dataset, build_model, build_raster_settings, build_stream_configs,
+    )
+    from igs_tpu.config import load_config
+    from igs_tpu.models.torch_convert import (
+        convert_gmflow_checkpoint, convert_igs_checkpoint,
+        fix_mlp_output_layer, load_torch_file,
+    )
+    from igs_tpu.ops.anchors import select_anchors
+    from igs_tpu.stream.pipeline import StreamingPipeline
+    from igs_tpu.train.driver import load_checkpoint
+
+    cfg = load_config(args.config, cli_args=extras)
+    # merge resume_cfg's system section if present (infer_batch.py:443-446)
+    resume_cfg = cfg.opt.get("resume_cfg")
+    if resume_cfg and os.path.exists(resume_cfg):
+        sys_cfg = load_config(resume_cfg).system
+        sys_cfg.update(cfg.system or {})
+        cfg.system.update(sys_cfg)
+    cfg.data["data"]["up_sample"] = cfg.system.get("up_sample", True)
+
+    ds = build_dataset(cfg.data, training=False)
+    model = build_model(cfg.system)
+    stream_cfg, refine_cfg = build_stream_configs(cfg.opt)
+    out_h = int(cfg.data["data"].get("output_height", 1014))
+    out_w = int(cfg.data["data"].get("output_width", 1352))
+    settings = build_raster_settings(out_h, out_w, clamp=True)
+
+    # init params with a representative batch, then overlay checkpoints
+    items = [ds[i] for i in range(stream_cfg.eval_batch_size)]
+    batch = ds.collate(items)
+    g0 = batch["gs"][0].pad_to(stream_cfg.max_num)
+    state1 = select_anchors(
+        g0.xyz, jnp.asarray(batch["bounding_box"][0]), valid=g0.valid,
+        anchor_size=stream_cfg.anchor_size, k=stream_cfg.neighbor_k)
+    b = stream_cfg.eval_batch_size
+    state = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * b), g0)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb, settings)
+
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+
+    def overlay(converted, prefix=()):
+        loaded = 0
+        for k, v in flax.traverse_util.flatten_dict(converted).items():
+            key = prefix + k
+            if key in flat and flat[key].shape == np.asarray(v).shape:
+                flat[key] = jnp.asarray(v)
+                loaded += 1
+        return loaded
+
+    gmflow_path = cfg.system.get("backbone", {}).get(
+        "pretrained_model_name_or_path", "")
+    if gmflow_path and os.path.exists(gmflow_path):
+        n = overlay(convert_gmflow_checkpoint(
+            load_torch_file(gmflow_path))["params"], ("backbone",))
+        print(f"loaded {n} GMFlow tensors")
+    resume = cfg.opt.get("resume", "")
+    if resume and os.path.exists(resume):
+        if resume.endswith(".msgpack"):
+            params, _ = load_checkpoint(resume, params)
+            print(f"loaded native checkpoint {resume}")
+        else:
+            conv = convert_igs_checkpoint(load_torch_file(resume))
+            fix_mlp_output_layer(conv["params"])
+            n = overlay(conv["params"])
+            print(f"loaded {n} AGM tensors from torch ckpt {resume} "
+                  f"({len(conv['unmapped'])} unmapped)")
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    pipe = StreamingPipeline(model, params, ds, stream_cfg, refine_cfg, settings)
+    results = pipe.run(max_batches=args.max_batches)
+    print(
+        f"avg PSNR {results['avg']:.2f}  "
+        f"sec/frame {results['sec/frame']:.3f}  fps(render) {results['fps']:.1f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Full-stack integration: synthetic scene → datasets → streaming pipeline."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igs_tpu.data.infer_data import N3dInferDataset
+from igs_tpu.data.dataset import N3dDataset
+from igs_tpu.data.synthetic import build_synthetic_scene
+from igs_tpu.models.agm import AGMNet
+from igs_tpu.ops.anchors import select_anchors
+from igs_tpu.ops.rasterize import RasterSettings
+from igs_tpu.stream.pipeline import StreamConfig, StreamingPipeline
+from igs_tpu.stream.refine import RefineConfig
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toy_scene"))
+    info = build_synthetic_scene(
+        root, n_frames=5, n_cams=14, n_gaussians=256,
+        height=64, width=64, interval=2,
+    )
+    return info
+
+
+def test_infer_dataset_loads(scene):
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["cur_images_input"].shape == (4, 3, 64, 64)
+    assert item["depth"].shape == (4, 64, 64)
+    assert item["local_rays"].shape == (16, 16, 3)
+    assert item["depth"].max() > 1.0  # meters, scene at radius ~4
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["cur_images_input"].shape == (2, 4, 3, 64, 64)
+    assert len(batch["gs"]) == 1  # only frame 0 carries gaussians
+    assert batch["gs"][0].num_capacity == 256
+
+    refine = ds.get_refine_data(2)
+    assert len(refine["images"]) == 13  # all training views minus eval view
+    assert refine["images"][0].shape == (3, 64, 64)
+
+
+def test_train_dataset_loads(scene):
+    ds = N3dDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "num_input_views": 4, "num_output_views": 6,
+        "input_height": 64, "input_width": 64,
+        "up_sample": True,
+    }, training=True)
+    # only frame-0 pairs have the rendered train dirs in the toy scene;
+    # item 0 is (colmap_0 → colmap_1)
+    item = ds[0]
+    assert item["cur_images_input"].shape == (4, 3, 64, 64)
+    assert item["images_output"].shape == (6, 3, 64, 64)
+    assert item["depth"].shape == (4, 64, 64)
+    batch = ds.collate([item])
+    assert len(batch["gs"]) == 1
+
+
+def test_streaming_pipeline_end_to_end(scene, tmp_path):
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+
+    # init params against a representative batch
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="tiles",
+        max_pairs=1 << 15, max_per_tile=256, chunk=64,
+    )
+    cfg = StreamConfig(
+        eval_batch_size=2, refine_iterations=3, max_num=512,
+        anchor_size=64, neighbor_k=4,
+        workspace=str(tmp_path / "ws"), save_images=True,
+    )
+    rcfg = RefineConfig(
+        densification_interval=2, densify_grad_threshold=1e-5,
+    )
+
+    items = [ds[0], ds[1]]
+    batch = ds.collate(items)
+    g0 = batch["gs"][0].pad_to(cfg.max_num)
+    state1 = select_anchors(
+        g0.xyz, jnp.asarray(batch["bounding_box"][0]), valid=g0.valid,
+        anchor_size=cfg.anchor_size, k=cfg.neighbor_k)
+    bsz = 2
+    state = jax.tree.map(lambda x: jnp.stack([x] * bsz), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * bsz), g0)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb,
+                        settings._replace(clamp_grads=True))
+
+    pipe = StreamingPipeline(model, params, ds, cfg, rcfg, settings)
+    results = pipe.run(max_batches=2)
+
+    assert len(results["psnr"]) == 4
+    assert results["fps"] > 0
+    assert all(np.isfinite(v) for v in results["psnr"].values())
+    # untrained model ≈ identity deform of the key gaussians: frame-1
+    # prediction should still resemble the scene (PSNR well above noise)
+    assert results["avg"] > 10.0, results
+    assert os.path.exists(os.path.join(cfg.workspace, "results.json"))
+    with open(os.path.join(cfg.workspace, "results.json")) as f:
+        saved = json.load(f)
+    assert saved["points_num"][0] >= 256
+    assert len(os.listdir(os.path.join(cfg.workspace, "eval_pred"))) == 4

@@ -1,0 +1,152 @@
+"""Train AGM-Net — reference parity: main.py (SURVEY.md §3.4).
+
+Usage:
+    python train_agm.py --config configs/train.yaml [dot.list=overrides]
+
+Data-parallel over all local devices via the (data, tile) mesh; AdamW +
+OneCycle with a frozen GMFlow backbone; per-epoch checkpoints + eval PSNR;
+losses logged to <workspace>/log.jsonl (replacing TensorBoard scalars,
+main.py:321-322).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="static Gaussian capacity (default: round up max N)")
+    args, extras = ap.parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from igs_tpu.builders import (
+        build_dataset, build_model, build_opt_config, build_raster_settings,
+    )
+    from igs_tpu.config import load_config, dump_config
+    from igs_tpu.models.torch_convert import (
+        convert_gmflow_checkpoint, load_torch_file,
+    )
+    from igs_tpu.ops.anchors import select_anchors
+    from igs_tpu.parallel.mesh import make_mesh, shard_batch
+    from igs_tpu.train.driver import (
+        make_optimizer, make_train_step, save_checkpoint,
+    )
+
+    cfg = load_config(args.config, cli_args=extras)
+    opt = cfg.opt
+    workspace = opt.get("workspace", "logs/igs_tpu/train")
+    os.makedirs(workspace, exist_ok=True)
+    dump_config(os.path.join(workspace, "experiment_config.yaml"), cfg)
+
+    train_ds = build_dataset(cfg.data, training=True)
+    model = build_model(cfg.system)
+    ocfg = build_opt_config(opt)
+
+    batch_size = int(opt.get("batch_size", 4))
+    out_h = int(cfg.data["data"].get("output_height", 1014))
+    out_w = int(cfg.data["data"].get("output_width", 1352))
+    settings = build_raster_settings(out_h, out_w, clamp=True)
+
+    anchor_size = int(opt.get("anchor_size", 8192))
+    neighbor_k = int(opt.get("neighbor_k", 8))
+
+    devices = jax.devices()
+    mesh = make_mesh(data=len(devices), tile=1) if len(devices) > 1 else None
+
+    def prep_batch(items):
+        batch = train_ds.collate(items)
+        caps = [g.num_capacity for g in batch["gs"]]
+        cap = args.capacity or (max(caps) + 8191) // 8192 * 8192
+        gs = [g.pad_to(cap) for g in batch["gs"]]
+        gaussians = jax.tree.map(lambda *x: jnp.stack(x), *gs)
+        states = [
+            select_anchors(
+                g.xyz, jnp.asarray(b), valid=g.valid,
+                anchor_size=anchor_size, k=neighbor_k)
+            for g, b in zip(gs, batch["bounding_box"])
+        ]
+        anchor_state = jax.tree.map(lambda *x: jnp.stack(x), *states)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        return jbatch, anchor_state, gaussians
+
+    # init params (and optionally load the GMFlow backbone weights)
+    first = prep_batch([train_ds[i] for i in range(batch_size)])
+    params = model.init(jax.random.PRNGKey(0), *first, settings)
+    gmflow_path = cfg.system.get("backbone", {}).get(
+        "pretrained_model_name_or_path", "")
+    if gmflow_path and os.path.exists(gmflow_path):
+        conv = convert_gmflow_checkpoint(load_torch_file(gmflow_path))
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params["params"])
+        cflat = flax.traverse_util.flatten_dict(conv["params"])
+        loaded = 0
+        for k, v in cflat.items():
+            key = ("backbone",) + k
+            if key in flat and flat[key].shape == v.shape:
+                flat[key] = jnp.asarray(v)
+                loaded += 1
+        params = {"params": flax.traverse_util.unflatten_dict(flat)}
+        print(f"loaded {loaded} GMFlow tensors from {gmflow_path}")
+
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    total_steps = ocfg.num_epochs * steps_per_epoch
+    tx, sched = make_optimizer(params, ocfg, total_steps)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, tx, ocfg, settings, mesh=mesh)
+
+    log_path = os.path.join(workspace, "log.jsonl")
+    global_step = 0
+    rng = np.random.RandomState(0)
+    for epoch in range(ocfg.num_epochs):
+        order = rng.permutation(len(train_ds))
+        for it in range(steps_per_epoch):
+            idxs = order[it * batch_size: (it + 1) * batch_size]
+            if len(idxs) < batch_size:
+                break
+            batch, anchor_state, gaussians = prep_batch(
+                [train_ds[int(i)] for i in idxs])
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+                anchor_state = shard_batch(mesh, anchor_state)
+                gaussians = shard_batch(mesh, gaussians)
+            t0 = time.time()
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, anchor_state, gaussians)
+            jax.block_until_ready(metrics["loss"])
+            global_step += 1
+            if global_step % 10 == 0 or global_step == 1:
+                rec = {
+                    "step": global_step, "epoch": epoch,
+                    "loss": float(metrics["loss"]),
+                    "psnr": float(metrics["psnr"]),
+                    "lr": float(sched(global_step)),
+                    "sec/step": time.time() - t0,
+                }
+                print(rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        save_checkpoint(
+            os.path.join(workspace, str(epoch), "params.msgpack"),
+            params, opt_state, step=global_step)
+        if args.max_steps and global_step >= args.max_steps:
+            break
+    print("training done:", global_step, "steps")
+
+
+if __name__ == "__main__":
+    main()
