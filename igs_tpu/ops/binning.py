@@ -52,7 +52,11 @@ def build_tile_pairs(
     offsets = jnp.cumsum(tiles_touched)  # inclusive
     total = offsets[-1]
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    g_sorted = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
+    # method="sort": slots are ascending, so a merge (one fused sort) beats
+    # the default per-query binary search by ~100× on TPU
+    g_sorted = jnp.searchsorted(
+        offsets, slots, side="right", method="sort"
+    ).astype(jnp.int32)
     g_clamped = jnp.minimum(g_sorted, n - 1)
     base = jnp.where(g_clamped > 0, offsets[jnp.maximum(g_clamped - 1, 0)], 0)
     local = slots - base
@@ -72,8 +76,10 @@ def build_tile_pairs(
 
     # 4. tile ranges
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+    start = jnp.searchsorted(
+        tile_sorted, tids, side="left", method="sort").astype(jnp.int32)
+    end = jnp.searchsorted(
+        tile_sorted, tids, side="right", method="sort").astype(jnp.int32)
 
     return TilePairs(
         gauss_id=gauss_sorted,

@@ -43,8 +43,9 @@ class RasterSettings(NamedTuple):
     max_pairs: int = 2**21
     max_per_tile: int = 4096
     chunk: int = 256
-    impl: str = "tiles"  # "tiles" | "reference"
-    binning: str = "compact"  # "compact" (sort-free) | "sort"
+    impl: str = "tiles"  # "tiles" | "pallas" | "reference"
+    binning: str = "sort"  # "sort" (merge-searchsorted) | "compact"
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
     clamp_grads: bool = False
     clamp_value: float = 15.0
 
@@ -93,16 +94,63 @@ def _rasterize_impl(
 
         grid_x, grid_y = image_tile_grid(h, w)
         if settings.binning == "compact":
-            idx_table, _ = build_tile_lists_compact(
+            idx_table, counts = build_tile_lists_compact(
                 proj, grid_x, grid_y, settings.max_per_tile
             )
         else:
             pairs = build_tile_pairs(proj, grid_x, grid_y, settings.max_pairs)
             idx_table = pairs_to_idx_table(pairs, settings.max_per_tile)
-        out = render_tiles(
-            proj, idx_table, h, w, fx, fy, bg, chunk=settings.chunk
-        )
+            counts = jnp.minimum(pairs.tile_count, settings.max_per_tile)
+        if settings.impl == "pallas":
+            out = _hybrid_render(
+                (h, w, settings.chunk, settings.pallas_interpret),
+                (proj, idx_table, counts, fx, fy, bg),
+            )
+        else:
+            out = render_tiles(
+                proj, idx_table, h, w, fx, fy, bg, chunk=settings.chunk
+            )
     return out, proj
+
+
+def _float0_like(x):
+    import numpy as _np
+
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hybrid_render(static, args):
+    """Pallas forward + XLA-AD backward (identical math both ways)."""
+    from igs_tpu.ops.pallas_blend import render_tiles_pallas
+
+    h, w, chunk, interpret = static
+    proj, idx_table, counts, fx, fy, bg = args
+    return render_tiles_pallas(
+        proj, idx_table, counts, h, w, fx, fy, bg,
+        chunk=chunk, interpret=interpret,
+    )
+
+
+def _hybrid_fwd(static, args):
+    return _hybrid_render(static, args), args
+
+
+def _hybrid_bwd(static, args, cts):
+    h, w, chunk, _ = static
+    proj, idx_table, counts, fx, fy, bg = args
+    _, vjp_fn = jax.vjp(
+        lambda p, fx_, fy_, bg_: render_tiles(
+            p, idx_table, h, w, fx_, fy_, bg_, chunk=chunk
+        ),
+        proj, fx, fy, bg,
+    )
+    g_proj, g_fx, g_fy, g_bg = vjp_fn(cts)
+    return ((g_proj, _float0_like(idx_table), _float0_like(counts),
+             g_fx, g_fy, g_bg),)
+
+
+_hybrid_render.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def rasterize(

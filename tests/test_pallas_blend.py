@@ -1,0 +1,67 @@
+"""Pallas blend kernel parity (interpret mode on CPU) vs XLA tiled path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igs_tpu.ops.rasterize import RasterSettings, rasterize
+from tests.conftest import make_camera, random_gaussians
+
+XLA = RasterSettings(
+    image_height=64, image_width=64, impl="tiles",
+    max_pairs=1 << 16, max_per_tile=512, chunk=64,
+)
+PALLAS = XLA._replace(impl="pallas", pallas_interpret=True)
+
+
+def _args(g, cam):
+    return dict(
+        means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+        rotation=g.get_rotation, camera=cam, shs=g.shs,
+    )
+
+
+@pytest.mark.parametrize("seed,n", [(0, 256), (2, 768)])
+def test_pallas_forward_parity(seed, n):
+    cam = make_camera()
+    g = random_gaussians(n=n, seed=seed)
+    ref = rasterize(**_args(g, cam), settings=XLA)
+    pal = rasterize(**_args(g, cam), settings=PALLAS)
+    for k in ["color", "alpha", "coord", "mcoord", "depth", "mdepth", "normal"]:
+        np.testing.assert_allclose(
+            np.asarray(pal[k]), np.asarray(ref[k]), atol=2e-4, rtol=1e-3,
+            err_msg=f"{k} mismatch",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(pal["n_contrib"]), np.asarray(ref["n_contrib"]))
+
+
+def test_pallas_gradients_match_xla():
+    cam = make_camera(height=32, width=32)
+    g = random_gaussians(n=128, seed=1)
+    sx = XLA._replace(image_height=32, image_width=32, max_per_tile=256)
+    sp = sx._replace(impl="pallas", pallas_interpret=True)
+
+    def loss(xyz, settings):
+        out = rasterize(
+            means3d=xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+            rotation=g.get_rotation, camera=cam, shs=g.shs, settings=settings,
+        )
+        return jnp.mean(jnp.abs(out["color"])) + 0.1 * jnp.mean(out["depth"])
+
+    g_ref = jax.grad(lambda x: loss(x, sx))(g.xyz)
+    g_pal = jax.grad(lambda x: loss(x, sp))(g.xyz)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_pallas_with_bg():
+    cam = make_camera()
+    g = random_gaussians(n=64, seed=3)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    ref = rasterize(**_args(g, cam), bg=bg, settings=XLA)
+    pal = rasterize(**_args(g, cam), bg=bg, settings=PALLAS)
+    np.testing.assert_allclose(
+        np.asarray(pal["color"]), np.asarray(ref["color"]),
+        atol=2e-4, rtol=1e-3)
