@@ -43,14 +43,24 @@ def _get_path(cfg: Dict, dotted: str):
     return cur
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _parse_scalar(s: str) -> Any:
-    return yaml.safe_load(s)
+    v = yaml.safe_load(s)
+    # YAML 1.1 treats "5e-4" (no dot) as a string; coerce numeric-looking
+    # scalars so reference configs like "lr: 4e-4" load as floats
+    if isinstance(v, str) and _SCI_FLOAT.match(v):
+        return float(v)
+    return v
 
 
 def _resolve_value(val: Any, root: Dict, depth=0) -> Any:
     if depth > 20:
         raise ValueError("interpolation recursion limit")
     if isinstance(val, str):
+        if _SCI_FLOAT.match(val):
+            return float(val)
         m = _INTERP.fullmatch(val.strip())
         if m:
             return _resolve_expr(m.group(1), root, depth)

@@ -125,24 +125,37 @@ class N3dInferDataset:
         table = VIEW_TABLES[self.cfg.scene_type]
         vids = table["eval"] + table["input"]
 
-        cur_r, next_r, depths, c2ws = [], [], [], []
-        next_full = []
-        fovx = fovy = None
+        paths = [self._paths_for(cur_dir, next_dir, vid, cameras)
+                 for vid in vids]
+        c2ws, fovs = [], None
         for vid in vids:
-            p = self._paths_for(cur_dir, next_dir, vid, cameras)
-            next_full.append(load_image(p["next"]))
-            cur_r.append(load_image(p["cur_512"]))
-            next_r.append(load_image(p["next_512"]))
-            if need_depth:
-                depths.append(load_depth_mm(p["depth"]))
             c2w, fovx, fovy = camera_from_json(cameras[vid])
             c2ws.append(c2w)
-
         c2ws = np.stack(c2ws)
+
+        # threaded native batch decode (falls back to PIL transparently)
+        from igs_tpu.data.native import load_images_nchw
+        from PIL import Image
+
+        def _size(p):
+            with Image.open(p) as im:
+                return im.size  # (w, h)
+
+        wf, hf = _size(paths[0]["next"])
+        wr, hr = _size(paths[0]["cur_512"])
+        next_full = load_images_nchw([p["next"] for p in paths], hf, wf)
+        cur_r = load_images_nchw([p["cur_512"] for p in paths], hr, wr)
+        next_r = load_images_nchw([p["next_512"] for p in paths], hr, wr)
+        if need_depth:
+            wd, hd = _size(paths[0]["depth"])
+            depths = load_images_nchw(
+                [p["depth"] for p in paths], hd, wd, channels=1,
+                scale=1.0 / 1000.0,
+            )[:, 0]
         res: Dict[str, Any] = {
-            "cur_images_input": np.stack(cur_r[1:]),
-            "next_images_input": np.stack(next_r[1:]),
-            "images_output": np.stack(next_full),
+            "cur_images_input": cur_r[1:],
+            "next_images_input": next_r[1:],
+            "images_output": next_full,
             "c2w_output": c2ws,
             "c2w_input": c2ws[1:],
             "FOV": np.asarray([fovx, fovy], np.float32),
@@ -155,7 +168,7 @@ class N3dInferDataset:
             "gs_path": self.cfg.start_gs_path if idx == 0 else "",
         }
         if need_depth:
-            res["depth"] = np.stack(depths[1:])
+            res["depth"] = depths[1:]
         if "keyframe" in item:
             res["keyframe"] = item["keyframe"]
         if self.cfg.need_rays:

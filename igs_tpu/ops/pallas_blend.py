@@ -87,10 +87,11 @@ def _blend_kernel(
     tx0 = ((t % grid_x) * TILE_X).astype(jnp.float32)
     ty0 = ((t // grid_x) * TILE_Y).astype(jnp.float32)
 
-    py = jax.lax.broadcasted_iota(jnp.float32, (TILE_Y, TILE_X), 0)
-    px = jax.lax.broadcasted_iota(jnp.float32, (TILE_Y, TILE_X), 1)
-    pixx = (tx0 + px).reshape(1, P)
-    pixy = (ty0 + py).reshape(1, P)
+    # flat pixel index p = py*TILE_X + px, generated directly in (1, P)
+    # layout (Mosaic can't shape-cast (16,16)→(1,256))
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    pixx = tx0 + (pidx % TILE_X).astype(jnp.float32)
+    pixy = ty0 + (pidx // TILE_X).astype(jnp.float32)
 
     tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))  # inclusive
 
@@ -200,19 +201,21 @@ def _blend_kernel(
     halfw = scalars_ref[2]
     halfh = scalars_ref[3]
 
-    t_final = jnp.exp(logT)[0, :, None]  # (P, 1)
+    t_final = jnp.exp(logT).reshape(P, 1)
     weight = acc_cw[:, 3:4]
-    any_acc = ncontrib[0, :, None] > 0.5
+    any_acc = ncontrib.reshape(P, 1) > 0.5
     wsafe = jnp.where(weight > 0, weight, 1.0)
 
     bg0 = scalars_ref[4]
     bg1 = scalars_ref[5]
     bg2 = scalars_ref[6]
-    color = acc_cw[:, 0:3] + t_final * jnp.stack([bg0, bg1, bg2])[None, :]
+    color = acc_cw[:, 0:3] + jnp.concatenate(
+        [t_final * bg0, t_final * bg1, t_final * bg2], axis=1
+    )
 
     lnf = jnp.sqrt(
-        ((pixx[0] - halfw) / fx) ** 2 + ((pixy[0] - halfh) / fy) ** 2 + 1.0
-    )[:, None]
+        ((pixx - halfw) / fx) ** 2 + ((pixy - halfh) / fy) ** 2 + 1.0
+    ).reshape(P, 1)
     depth_ln = acc_cd[:, 3:4] / lnf
     out_depth = jnp.where(any_acc, depth_ln / wsafe, 0.0)
     out_coord = jnp.where(any_acc, acc_cd[:, 0:3] / wsafe, 0.0)
@@ -231,7 +234,7 @@ def _blend_kernel(
             out_normal,  # 8:11
             acc_med[:, 0:3],  # 11:14 mcoord
             out_mdepth,  # 14
-            ncontrib[0, :, None],  # 15
+            ncontrib.reshape(P, 1),  # 15
         ],
         axis=1,
     )

@@ -252,6 +252,40 @@ class StreamingPipeline:
             mask_num.append(int(jnp.sum(stream_gs.mask)))
             points_num.append(int(stream_gs.num_valid))
 
+            if cfg.free_view:
+                # free-view rendering + per-frame .ply export
+                # (infer_batch.py:359-378)
+                os.makedirs(os.path.join(cfg.workspace, "gs"), exist_ok=True)
+                os.makedirs(
+                    os.path.join(cfg.workspace, "free_view"), exist_ok=True)
+                from igs_tpu.data.ply import save_gaussian_ply
+                from igs_tpu.data.infer_data import spiral_path
+
+                if not hasattr(self, "_spiral"):
+                    self._spiral = spiral_path(
+                        np.asarray(batch["c2w_output"][0]), n_views=len(ds))
+                for bi in range(bsz):
+                    frame_id = idx * b + bi
+                    gs_b = jax.tree.map(
+                        lambda x: x[bi] if x is not None else None, out["3dgs"]
+                    )
+                    save_gaussian_ply(
+                        os.path.join(cfg.workspace, "gs", f"{frame_id}.ply"),
+                        gs_b)
+                    pose = self._spiral[min(frame_id, len(self._spiral) - 1)]
+                    cam = self._camera(
+                        pose, batch["FOV"][0],
+                        self.out_settings.image_height,
+                        self.out_settings.image_width)
+                    img, _ = self._render_one(
+                        gs_b, cam, jnp.asarray(batch["background_color"][0]))
+                    from PIL import Image
+
+                    arr = (np.clip(np.asarray(img), 0, 1).transpose(1, 2, 0)
+                           * 255).astype(np.uint8)
+                    Image.fromarray(arr).save(os.path.join(
+                        cfg.workspace, "free_view", f"{frame_id:05d}.png"))
+
             if cfg.refine_gs:
                 key = (idx + 1) * b
                 if key in getattr(ds, "refine_dataset", set()):
