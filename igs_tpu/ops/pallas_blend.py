@@ -131,7 +131,7 @@ def _blend_kernel(
         a = jnp.where(cand, alpha, 0.0)
         log1m = jnp.log1p(-a)
         cum_incl = logT + jnp.dot(
-            tri, log1m, preferred_element_type=jnp.float32
+            tri, log1m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
         cum_excl = cum_incl - log1m
         alive = cum_incl >= _LOG_TERM
@@ -145,7 +145,7 @@ def _blend_kernel(
         ones = jnp.ones((chunk, 1), jnp.float32)
         f_cw = jnp.concatenate([f[:, _COLOR], ones], axis=1)  # (chunk,4)
         acc_cw = acc_cw + jnp.dot(
-            wt, f_cw, preferred_element_type=jnp.float32
+            wt, f_cw, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
         # coord3 + depth1 — dx/dy plane terms share the matmul
         f_cd_w = jnp.concatenate([f[:, _VP], f[:, _T]], axis=1)
@@ -153,26 +153,26 @@ def _blend_kernel(
         f_cd_y = jnp.concatenate([f[:, _CPY], f[:, 20:21]], axis=1)
         acc_cd = (
             acc_cd
-            + jnp.dot(wt, f_cd_w, preferred_element_type=jnp.float32)
-            + jnp.dot(wdx.T, f_cd_x, preferred_element_type=jnp.float32)
-            + jnp.dot(wdy.T, f_cd_y, preferred_element_type=jnp.float32)
+            + jnp.dot(wt, f_cd_w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(wdx.T, f_cd_x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(wdy.T, f_cd_y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         )
         f_n = jnp.concatenate([f[:, _NRM], jnp.zeros_like(ones)], axis=1)
         acc_n = acc_n + jnp.dot(
-            wt, f_n, preferred_element_type=jnp.float32
+            wt, f_n, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
 
         # median: last accepted with T_before > 0.5 (suffix-count == 1)
         med = (accept & (t_before > 0.5)).astype(jnp.float32)
-        suffix = jnp.dot(tri.T, med, preferred_element_type=jnp.float32)
+        suffix = jnp.dot(tri.T, med, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         last = med * (suffix < 1.5)  # one-hot per column
         has = jnp.sum(last, axis=0, keepdims=True)  # (1, P)
         med_new = (
-            jnp.dot(last.T, f_cd_w, preferred_element_type=jnp.float32)
+            jnp.dot(last.T, f_cd_w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             + jnp.dot(
-                (last * dx).T, f_cd_x, preferred_element_type=jnp.float32)
+                (last * dx).T, f_cd_x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             + jnp.dot(
-                (last * dy).T, f_cd_y, preferred_element_type=jnp.float32)
+                (last * dy).T, f_cd_y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         )  # (P, 4) = mcoord3 + mdepth1
         acc_med = jnp.where(has.T > 0.5, med_new, acc_med)
 
