@@ -47,9 +47,16 @@ def build_dataset(data_cfg: Dict[str, Any], training: bool):
 def build_raster_settings(
     height: int, width: int, clamp: bool = True,
     max_pairs: int = 2**21, max_per_tile: int = 4096,
+    impl: str = "auto",
 ) -> RasterSettings:
+    if impl == "auto":
+        import jax
+
+        # fused Pallas kernels on TPU; XLA path elsewhere (CPU tests can
+        # opt into interpret mode explicitly)
+        impl = "pallas" if jax.default_backend() == "tpu" else "tiles"
     return RasterSettings(
-        image_height=height, image_width=width, impl="tiles",
+        image_height=height, image_width=width, impl=impl,
         max_pairs=max_pairs, max_per_tile=max_per_tile,
         clamp_grads=clamp,
     )

@@ -1,27 +1,31 @@
-"""Fused Pallas TPU kernel for the per-tile blend (forward).
+"""Fused Pallas TPU kernels for the per-tile blend — forward AND backward.
 
-The XLA chunk-scan blend (render_tiles.py) materializes several (G, P)
-intermediates per chunk and always processes the full static per-tile
-budget. This kernel fuses the whole blend for one 16×16 tile in VMEM and
-uses a dynamic while-loop over chunks with two exits:
-  * past the tile's actual pair count (scalar-prefetched counts), and
-  * all pixels saturated (the T<1e-4 sticky done of forward.cu:566-573).
+Replaces renderCUDA forward (cuda_rasterizer/forward.cu:428-693) and its
+hand-written backward (backward.cu:631-1016) with two TPU kernels:
 
-Inputs are PRE-GATHERED per-tile feature blocks (T, max_per_tile, 32)
-(XLA row-gathers are fast; Pallas then streams contiguous blocks through
-the pipeline — no per-row DMA). The in-chunk transmittance cumsum runs on
-the MXU as a lower-triangular matmul; median selection is a one-hot
-("suffix-count == 1") matmul — no gathers inside the kernel.
+  * Forward: per-tile while-loop over Gaussian chunks with two early exits
+    (past the tile's pair count; all pixels saturated). Transmittance is a
+    log-space cumulative sum computed as a lower-triangular matmul on the
+    MXU; blending/median-selection are (pixels × gaussians) matmuls. The
+    kernel emits RAW accumulators (Σ αT·feature, final log T, last/median
+    contributor positions) — all normalization, background compositing and
+    the per-pixel ray-norm happen in differentiable XLA outside.
 
-Backward: gradients route through the XLA implementation via custom_vjp in
-rasterize.py (identical math ⇒ identical gradients); this kernel is the
-inference/render hot path.
+  * Backward: reverse chunk walk recovering T exactly like the CUDA
+    backward (T by subtraction of accepted log(1−α); the accepted set
+    re-derived from the forward's per-pixel n_contrib, mirroring
+    backward.cu:700 `contributor >= last_contributor` skip). dL/dα gets the
+    suffix-sum term Σ_{j>i} w_j g_j via a carried per-pixel scalar plus an
+    in-chunk upper-triangular matmul. Per-slot feature gradients are
+    written densely to a (max_per_tile, 32) block; the scatter back to
+    Gaussians is the XLA transpose of the pre-gather — a deterministic
+    segment reduction (no atomics, reproducible grads).
 
 Feature packing (32 lanes): [xy(2) | conic(3) | opacity(1) | color(3) |
-vp(3) | t(1) | cpx(3) | cpy(3) | rp(2) | nrm(3) | pad(11)].
+vp(3) | t(1) | cpx(3) | cpy(3) | rp(2) | nrm(3) | pad(8)].
 
-Output packing (16 lanes): [color(3) | weight(1) | coord(3) | depth(1) |
-normal(3) | mcoord(3) | mdepth(1) | n_contrib(1)].
+Raw output packing (24 lanes): [C(3) | W(1) | Coord(3) | D(1) | Nrm(3) |
+mcoord(3) | mdepth_t(1) | logT(1) | n_contrib(1) | med_pos(1) | pad(7)].
 """
 
 from __future__ import annotations
@@ -38,17 +42,13 @@ from igs_tpu.ops.projection import ProjectedGaussians, TILE_X, TILE_Y
 _LOG_TERM = -9.210340371976182  # log(1e-4)
 _MIN_ALPHA = 1.0 / 255.0
 P = TILE_X * TILE_Y  # 256 pixels per tile
+HI = jax.lax.Precision.HIGHEST
 
-# packed feature column ranges
-_XY = slice(0, 2)
-_CONIC = slice(2, 5)
-_OPAC = slice(5, 6)
 _COLOR = slice(6, 9)
 _VP = slice(9, 12)
 _T = slice(12, 13)
 _CPX = slice(13, 16)
 _CPY = slice(16, 19)
-_RP = slice(19, 21)
 _NRM = slice(21, 24)
 
 
@@ -73,171 +73,386 @@ def pack_features(proj: ProjectedGaussians) -> jnp.ndarray:
     )
 
 
-def _blend_kernel(
-    counts_ref,  # scalar prefetch: (T,) int32
-    scalars_ref,  # scalar prefetch: (8,) f32 [fx, fy, w/2, h/2, bg0..2, gx]
-    feats_ref,  # (1, MAXPT, 32) VMEM — this tile's gathered features
-    out_ref,  # (1, P, 16) VMEM
-    *,
-    chunk: int,
-):
-    t = pl.program_id(0)
-    count = counts_ref[t]
-    grid_x = scalars_ref[7].astype(jnp.int32)
+def unpack_feature_grads(dfeats: jnp.ndarray) -> dict:
+    """(N, 32) packed grads → per-field cotangents (pack_features order)."""
+    cp = jnp.zeros((dfeats.shape[0], 6), dfeats.dtype)
+    cp = cp.at[:, 0::2].set(dfeats[:, 13:16])
+    cp = cp.at[:, 1::2].set(dfeats[:, 16:19])
+    return dict(
+        means2d=dfeats[:, 0:2],
+        conic=dfeats[:, 2:5],
+        opacity=dfeats[:, 5],
+        color=dfeats[:, 6:9],
+        view_point=dfeats[:, 9:12],
+        t_center=dfeats[:, 12],
+        camera_plane=cp,
+        ray_plane=dfeats[:, 19:21],
+        normal=dfeats[:, 21:24],
+    )
+
+
+def _common_chunk(f, pixx, pixy):
+    dx = f[:, 0:1] - pixx  # (chunk, P)
+    dy = f[:, 1:2] - pixy
+    power = (
+        -0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
+        - f[:, 3:4] * dx * dy
+    )
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(0.99, f[:, 5:6] * expp)
+    return dx, dy, power, expp, alpha
+
+
+def _pix_coords(t, scalars_ref):
+    grid_x = scalars_ref[0].astype(jnp.int32)
     tx0 = ((t % grid_x) * TILE_X).astype(jnp.float32)
     ty0 = ((t // grid_x) * TILE_Y).astype(jnp.float32)
-
-    # flat pixel index p = py*TILE_X + px, generated directly in (1, P)
-    # layout (Mosaic can't shape-cast (16,16)→(1,256))
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     pixx = tx0 + (pidx % TILE_X).astype(jnp.float32)
     pixy = ty0 + (pidx // TILE_X).astype(jnp.float32)
+    return pixx, pixy
 
-    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))  # inclusive
+
+def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    pixx, pixy = _pix_coords(t, scalars_ref)
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
 
     n_chunks = pl.cdiv(count, chunk)
     carry0 = (
         jnp.zeros((1, P), jnp.float32),  # 0 logT
-        jnp.zeros((1, P), jnp.float32),  # 1 done (0/1)
-        jnp.zeros((P, 4), jnp.float32),  # 2 acc color3 + weight1
-        jnp.zeros((P, 4), jnp.float32),  # 3 acc coord3 + depth1
-        jnp.zeros((P, 4), jnp.float32),  # 4 acc normal3 + pad
+        jnp.zeros((1, P), jnp.float32),  # 1 done
+        jnp.zeros((P, 4), jnp.float32),  # 2 color3 + weight1
+        jnp.zeros((P, 4), jnp.float32),  # 3 coord3 + depth1
+        jnp.zeros((P, 4), jnp.float32),  # 4 normal3 + pad
         jnp.zeros((P, 4), jnp.float32),  # 5 mcoord3 + mdepth1
-        jnp.zeros((1, P), jnp.float32),  # 6 n_contrib (float)
-        jnp.int32(0),  # 7 chunk index
+        jnp.zeros((1, P), jnp.float32),  # 6 n_contrib
+        jnp.full((1, P), -1.0),          # 7 med_pos (slot, -1 none)
+        jnp.int32(0),                    # 8 chunk index
     )
 
-    def cond(carry):
-        return (carry[7] < n_chunks) & (jnp.min(carry[1]) < 0.5)
+    def cond(c):
+        return (c[8] < n_chunks) & (jnp.min(c[1]) < 0.5)
 
     def body(carry):
-        logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, c = carry
-        f = feats_ref[0, pl.ds(c * chunk, chunk), :]  # (chunk, 32)
-        slot = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
-        )
-        live = slot < count  # (chunk, 1)
-
-        dx = f[:, 0:1] - pixx  # (chunk, P)
-        dy = f[:, 1:2] - pixy
-        power = (
-            -0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
-            - f[:, 3:4] * dx * dy
-        )
-        alpha = jnp.minimum(
-            0.99, f[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
-        )
+        (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos,
+         c) = carry
+        f = feats_ref[0, pl.ds(c * chunk, chunk), :]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
+        live = slot < count
+        dx, dy, power, _, alpha = _common_chunk(f, pixx, pixy)
         cand = live & (power <= 0.0) & (alpha >= _MIN_ALPHA)
         a = jnp.where(cand, alpha, 0.0)
         log1m = jnp.log1p(-a)
-        cum_incl = logT + jnp.dot(
-            tri, log1m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
-        cum_excl = cum_incl - log1m
+        cum_incl = logT + jnp.dot(tri, log1m, precision=HI)
         alive = cum_incl >= _LOG_TERM
         accept = cand & alive & (done < 0.5)
-        t_before = jnp.exp(cum_excl)
-        w = jnp.where(accept, a * t_before, 0.0)  # (chunk, P)
+        t_before = jnp.exp(cum_incl - log1m)
+        w = jnp.where(accept, a * t_before, 0.0)
         wdx = w * dx
         wdy = w * dy
-        wt = w.T  # (P, chunk)
+        wt = w.T
 
         ones = jnp.ones((chunk, 1), jnp.float32)
-        f_cw = jnp.concatenate([f[:, _COLOR], ones], axis=1)  # (chunk,4)
-        acc_cw = acc_cw + jnp.dot(
-            wt, f_cw, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
-        # coord3 + depth1 — dx/dy plane terms share the matmul
+        f_cw = jnp.concatenate([f[:, _COLOR], ones], axis=1)
         f_cd_w = jnp.concatenate([f[:, _VP], f[:, _T]], axis=1)
         f_cd_x = jnp.concatenate([f[:, _CPX], f[:, 19:20]], axis=1)
         f_cd_y = jnp.concatenate([f[:, _CPY], f[:, 20:21]], axis=1)
+        f_n = jnp.concatenate([f[:, _NRM], jnp.zeros_like(ones)], axis=1)
+
+        acc_cw = acc_cw + jnp.dot(wt, f_cw, precision=HI)
         acc_cd = (
             acc_cd
-            + jnp.dot(wt, f_cd_w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(wdx.T, f_cd_x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(wdy.T, f_cd_y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(wt, f_cd_w, precision=HI)
+            + jnp.dot(wdx.T, f_cd_x, precision=HI)
+            + jnp.dot(wdy.T, f_cd_y, precision=HI)
         )
-        f_n = jnp.concatenate([f[:, _NRM], jnp.zeros_like(ones)], axis=1)
-        acc_n = acc_n + jnp.dot(
-            wt, f_n, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
+        acc_n = acc_n + jnp.dot(wt, f_n, precision=HI)
 
-        # median: last accepted with T_before > 0.5 (suffix-count == 1)
         med = (accept & (t_before > 0.5)).astype(jnp.float32)
-        suffix = jnp.dot(tri.T, med, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        last = med * (suffix < 1.5)  # one-hot per column
-        has = jnp.sum(last, axis=0, keepdims=True)  # (1, P)
+        suffix = jnp.dot(tri.T, med, precision=HI)
+        last = med * (suffix < 1.5)
+        has = jnp.sum(last, axis=0, keepdims=True)
         med_new = (
-            jnp.dot(last.T, f_cd_w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(
-                (last * dx).T, f_cd_x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(
-                (last * dy).T, f_cd_y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        )  # (P, 4) = mcoord3 + mdepth1
+            jnp.dot(last.T, f_cd_w, precision=HI)
+            + jnp.dot((last * dx).T, f_cd_x, precision=HI)
+            + jnp.dot((last * dy).T, f_cd_y, precision=HI)
+        )
         acc_med = jnp.where(has.T > 0.5, med_new, acc_med)
+        slotf = slot.astype(jnp.float32)
+        medpos_new = jnp.sum(last * slotf, axis=0, keepdims=True)
+        medpos = jnp.where(has > 0.5, medpos_new, medpos)
 
         acceptf = accept.astype(jnp.float32)
-        pos = (slot + 1).astype(jnp.float32)
         ncontrib = jnp.maximum(
-            ncontrib, jnp.max(acceptf * pos, axis=0, keepdims=True)
+            ncontrib,
+            jnp.max(acceptf * (slotf + 1.0), axis=0, keepdims=True),
         )
-
         logT = logT + jnp.sum(
             jnp.where(accept, log1m, 0.0), axis=0, keepdims=True
         )
         done = jnp.maximum(
             done,
-            jnp.max(
-                jnp.where(cand & ~alive, 1.0, 0.0), axis=0, keepdims=True
-            ),
+            jnp.max(jnp.where(cand & ~alive, 1.0, 0.0), axis=0,
+                    keepdims=True),
         )
-        return (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, c + 1)
+        return (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib,
+                medpos, c + 1)
 
     out = jax.lax.while_loop(cond, body, carry0)
-    logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, _ = out
-
-    fx = scalars_ref[0]
-    fy = scalars_ref[1]
-    halfw = scalars_ref[2]
-    halfh = scalars_ref[3]
-
-    t_final = jnp.exp(logT).reshape(P, 1)
-    weight = acc_cw[:, 3:4]
-    any_acc = ncontrib.reshape(P, 1) > 0.5
-    wsafe = jnp.where(weight > 0, weight, 1.0)
-
-    bg0 = scalars_ref[4]
-    bg1 = scalars_ref[5]
-    bg2 = scalars_ref[6]
-    color = acc_cw[:, 0:3] + jnp.concatenate(
-        [t_final * bg0, t_final * bg1, t_final * bg2], axis=1
-    )
-
-    lnf = jnp.sqrt(
-        ((pixx - halfw) / fx) ** 2 + ((pixy - halfh) / fy) ** 2 + 1.0
-    ).reshape(P, 1)
-    depth_ln = acc_cd[:, 3:4] / lnf
-    out_depth = jnp.where(any_acc, depth_ln / wsafe, 0.0)
-    out_coord = jnp.where(any_acc, acc_cd[:, 0:3] / wsafe, 0.0)
-    out_mdepth = acc_med[:, 3:4] / lnf
-    nrm = acc_n[:, 0:3]
-    nlen2 = jnp.sum(nrm * nrm, axis=1, keepdims=True)
-    nlen = jnp.sqrt(jnp.where(nlen2 > 0, nlen2, 1.0))
-    out_normal = jnp.where(any_acc, nrm / jnp.maximum(nlen, 1e-12), 0.0)
-
+    logT, _, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos, _ = out
     out_ref[0, :, :] = jnp.concatenate(
         [
-            color,  # 0:3
-            weight,  # 3
-            out_coord,  # 4:7
-            out_depth,  # 7
-            out_normal,  # 8:11
-            acc_med[:, 0:3],  # 11:14 mcoord
-            out_mdepth,  # 14
-            ncontrib.reshape(P, 1),  # 15
+            acc_cw[:, 0:3],            # 0:3  C
+            acc_cw[:, 3:4],            # 3    W
+            acc_cd,                    # 4:8  Coord, D
+            acc_n[:, 0:3],             # 8:11 Nrm
+            acc_med,                   # 11:15 mcoord, mdepth_t
+            logT.T,                    # 15
+            ncontrib.T,                # 16
+            medpos.T,                  # 17
+            jnp.zeros((P, 6), jnp.float32),
         ],
         axis=1,
     )
+
+
+def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
+                dfeats_ref, *, chunk: int):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    pixx, pixy = _pix_coords(t, scalars_ref)
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
+    triu_incl = tri.T  # suffix inclusive
+    triu_excl = triu_incl - jnp.eye(chunk, dtype=jnp.float32)
+
+    fwd = fwd_ref[0, :, :]  # (P, 24)
+    cot = cot_ref[0, :, :]  # (P, 24)
+    logT_final = fwd[:, 15:16].T  # (1, P)
+    ncontrib = fwd[:, 16:17].T
+    medpos = fwd[:, 17:18].T
+
+    uC = cot[:, 0:3]
+    uW = cot[:, 3:4]
+    uCD = cot[:, 4:8]      # uCoord(3) + uD(1)
+    uN = cot[:, 8:11]
+    uMed = cot[:, 11:15]   # umcoord(3) + umdepth(1)
+    ulogT = cot[:, 15:16].T  # (1, P)
+
+    # zero the whole grad block (slots beyond the walk stay zero)
+    dfeats_ref[0, :, :] = jnp.zeros_like(dfeats_ref[0, :, :])
+
+    nc_max = jnp.max(ncontrib).astype(jnp.int32)
+    limit = jnp.minimum(count, nc_max)
+    c_start = pl.cdiv(limit, chunk) - 1
+
+    def cond(carry):
+        return carry[2] >= 0
+
+    def body(carry):
+        s_carry, logT_end, c = carry
+        f = feats_ref[0, pl.ds(c * chunk, chunk), :]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
+        dx, dy, power, expp, alpha = _common_chunk(f, pixx, pixy)
+        slotf = slot.astype(jnp.float32)
+        accept = (
+            (slot < count)
+            & (power <= 0.0)
+            & (alpha >= _MIN_ALPHA)
+            & ((slotf + 1.0) <= ncontrib)
+        )
+        a = jnp.where(accept, alpha, 0.0)
+        log1m = jnp.log1p(-a)
+        suffix_incl = jnp.dot(triu_incl, log1m, precision=HI)
+        logT_i = logT_end - suffix_incl  # T before gaussian i
+        t_i = jnp.exp(logT_i)
+        w = jnp.where(accept, a * t_i, 0.0)
+
+        ones = jnp.ones((chunk, 1), jnp.float32)
+        f_cw = jnp.concatenate([f[:, _COLOR], ones], axis=1)
+        f_cd_w = jnp.concatenate([f[:, _VP], f[:, _T]], axis=1)
+        f_cd_x = jnp.concatenate([f[:, _CPX], f[:, 19:20]], axis=1)
+        f_cd_y = jnp.concatenate([f[:, _CPY], f[:, 20:21]], axis=1)
+        f_n = jnp.concatenate([f[:, _NRM], jnp.zeros_like(ones)], axis=1)
+
+        # g_i(p) = dL/dw_i(p) — contract on the 4-channel axis without
+        # explicit transposes (dot_general is Mosaic-friendlier)
+        def dotT(a, b):  # (chunk, K) × (P, K) → (chunk, P)
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), precision=HI)
+
+        uCW = jnp.concatenate([uC, uW], axis=1)
+        uN4 = jnp.concatenate([uN, jnp.zeros((P, 1), jnp.float32)], axis=1)
+        g = (
+            dotT(f_cw, uCW)
+            + dotT(f_cd_w, uCD)
+            + dx * dotT(f_cd_x, uCD)
+            + dy * dotT(f_cd_y, uCD)
+            + dotT(f_n, uN4)
+        )  # (chunk, P)
+        wg = w * g
+        s_cur = s_carry + jnp.dot(triu_excl, wg, precision=HI)  # Σ_{j>i}
+
+        da = jnp.where(
+            accept,
+            t_i * g - (s_cur + ulogT) / (1.0 - a),
+            0.0,
+        )
+        notclip = (alpha < 0.99).astype(jnp.float32)
+        dpower = da * a * notclip  # a = op·E when unclipped
+        dop_px = da * expp * notclip  # (chunk, P), sum later
+
+        # median one-hot (slot of the median contributor)
+        lastm = (
+            (slotf == medpos) & (medpos >= 0.0)
+        ).astype(jnp.float32)  # (chunk, P)
+        ldx = lastm * dx
+        ldy = lastm * dy
+
+        # d/d dx, dy
+        ddx = (
+            dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
+            + w * dotT(f_cd_x, uCD)
+            + lastm * dotT(f_cd_x, uMed)
+        )
+        ddy = (
+            dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
+            + w * dotT(f_cd_y, uCD)
+            + lastm * dotT(f_cd_y, uMed)
+        )
+
+        wdx = w * dx
+        wdy = w * dy
+        # per-slot feature grads — (chunk, P) @ (P, K) matmuls
+        dxy = jnp.concatenate(
+            [
+                jnp.sum(ddx, axis=1, keepdims=True),
+                jnp.sum(ddy, axis=1, keepdims=True),
+            ],
+            axis=1,
+        )  # (chunk, 2)
+        dconic = jnp.concatenate(
+            [
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True),
+                jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True),
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True),
+            ],
+            axis=1,
+        )  # (chunk, 3)
+        dop = jnp.sum(dop_px, axis=1, keepdims=True)  # (chunk, 1)
+        dcolor = jnp.dot(w, uC, precision=HI)  # (chunk, 3)
+        dvp_t = (
+            jnp.dot(w, uCD, precision=HI)
+            + jnp.dot(lastm, uMed, precision=HI)
+        )  # (chunk, 4): vp(3) + t(1)
+        dcpx_rp0 = (
+            jnp.dot(wdx, uCD, precision=HI)
+            + jnp.dot(ldx, uMed, precision=HI)
+        )  # (chunk, 4): cpx(3) + rp0(1)
+        dcpy_rp1 = (
+            jnp.dot(wdy, uCD, precision=HI)
+            + jnp.dot(ldy, uMed, precision=HI)
+        )  # (chunk, 4): cpy(3) + rp1(1)
+        dnrm = jnp.dot(w, uN, precision=HI)  # (chunk, 3)
+
+        block = jnp.concatenate(
+            [
+                dxy,                 # 0:2
+                dconic,              # 2:5
+                dop,                 # 5
+                dcolor,              # 6:9
+                dvp_t[:, 0:3],       # 9:12 vp
+                dvp_t[:, 3:4],       # 12   t
+                dcpx_rp0[:, 0:3],    # 13:16 cpx
+                dcpy_rp1[:, 0:3],    # 16:19 cpy
+                dcpx_rp0[:, 3:4],    # 19 rp0
+                dcpy_rp1[:, 3:4],    # 20 rp1
+                dnrm,                # 21:24
+                jnp.zeros((chunk, 8), jnp.float32),
+            ],
+            axis=1,
+        )
+        dfeats_ref[0, pl.ds(c * chunk, chunk), :] = block
+
+        s_next = s_carry + jnp.sum(wg, axis=0, keepdims=True)
+        logT_next = logT_end - jnp.sum(
+            jnp.where(accept, log1m, 0.0), axis=0, keepdims=True
+        )
+        return (s_next, logT_next, c - 1)
+
+    jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((1, P), jnp.float32), logT_final, c_start),
+    )
+
+
+def _grid_spec(num_tiles, max_per_tile, extra_specs=()):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret):
+    """(T, maxpt, 32) gathered feats → (T, P, 24) raw accumulators."""
+    num_tiles = grid_x * grid_y
+    max_per_tile = gathered.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, chunk=chunk),
+        grid_spec=_grid_spec(num_tiles, max_per_tile),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 24), jnp.float32),
+        interpret=interpret,
+    )(counts, scalars, gathered)
+
+
+def _blend_raw_fwd(gathered, counts, scalars, grid_x, grid_y, chunk,
+                   interpret):
+    out = blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk,
+                    interpret)
+    return out, (gathered, counts, scalars, out)
+
+
+def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, res, cot):
+    import numpy as _np
+
+    gathered, counts, scalars, fwd_out = res
+    num_tiles = grid_x * grid_y
+    max_per_tile = gathered.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+    )
+    dgathered = pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, max_per_tile, 32), jnp.float32),
+        interpret=interpret,
+    )(counts, scalars, gathered, fwd_out, cot)
+    return (
+        dgathered,
+        _np.zeros(counts.shape, jax.dtypes.float0),
+        jnp.zeros_like(scalars),
+    )
+
+
+blend_raw.defvjp(_blend_raw_fwd, _blend_raw_bwd)
 
 
 def render_tiles_pallas(
@@ -252,31 +467,22 @@ def render_tiles_pallas(
     chunk: int = 256,
     interpret: bool = False,
 ):
-    """Forward-only Pallas render returning RenderOutputs (max_contrib=0)."""
+    """Differentiable Pallas render → RenderOutputs (max_contrib from the
+    median contributor position)."""
     from igs_tpu.ops.render_tiles import RenderOutputs
+    from igs_tpu.utils.safe_math import safe_norm
 
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
     feats = pack_features(proj)
-    gathered = feats[jnp.maximum(idx_table, 0)]  # (T, maxpt, 32)
+    gathered = feats[jnp.maximum(idx_table, 0)]
     scalars = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    jnp.asarray(focal_x, jnp.float32),
-                    jnp.asarray(focal_y, jnp.float32),
-                    jnp.asarray(width / 2.0, jnp.float32),
-                    jnp.asarray(height / 2.0, jnp.float32),
-                ]
-            ),
-            bg.astype(jnp.float32),
-            jnp.asarray([grid_x], jnp.float32),
-        ]
+        [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)]
     )
-    packed = blend_tiles_pallas(
+    raw = blend_raw(
         gathered, counts.astype(jnp.int32), scalars,
-        grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
-    )  # (T, P, 16)
+        grid_x, grid_y, chunk, interpret,
+    )  # (T, P, 24)
 
     def untile(x):
         c = x.shape[-1]
@@ -286,50 +492,50 @@ def render_tiles_pallas(
         )
         return img[:, :height, :width]
 
-    img = untile(packed)  # (16, H, W)
+    img = untile(raw)  # (24, H, W)
+    color_acc = img[0:3]
     weight = img[3]
+    coord_acc = img[4:7]
+    depth_acc = img[7]
+    nrm_acc = img[8:11]
+    mcoord = img[11:14]
+    mdepth_t = img[14]
+    logT = img[15]
+    n_contrib = img[16]
+    med_pos = img[17]
+
+    t_final = jnp.exp(logT)
+    color = color_acc + t_final[None] * bg[:, None, None]
+    any_acc = n_contrib > 0.5
+    wsafe = jnp.where(weight > 0, weight, 1.0)
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    lnf = jnp.sqrt(
+        ((xs - width / 2.0) / focal_x) ** 2
+        + ((ys - height / 2.0) / focal_y) ** 2
+        + 1.0
+    )
+    depth_ln = depth_acc / lnf
+    out_depth = jnp.where(any_acc, depth_ln / wsafe, 0.0)
+    out_coord = jnp.where(any_acc[None], coord_acc / wsafe[None], 0.0)
+    out_mdepth = mdepth_t / lnf
+    nlen = jnp.maximum(safe_norm(nrm_acc, axis=0, keepdims=True), 1e-12)
+    out_normal = jnp.where(any_acc[None], nrm_acc / nlen, 0.0)
+
     return RenderOutputs(
-        color=img[0:3],
+        color=color,
         alpha=weight,
-        coord=img[4:7],
-        mcoord=img[11:14],
-        depth=img[7],
-        mdepth=img[14],
-        normal=img[8:11],
-        accum_coord=img[4:7] * weight[None],
-        accum_depth=img[7] * weight,
-        n_contrib=img[15].astype(jnp.int32),
-        max_contrib=jnp.zeros_like(img[15], jnp.int32),
+        coord=out_coord,
+        mcoord=mcoord,
+        depth=out_depth,
+        mdepth=out_mdepth,
+        normal=out_normal,
+        accum_coord=coord_acc,
+        accum_depth=depth_ln,
+        n_contrib=n_contrib.astype(jnp.int32),
+        max_contrib=(med_pos + 1.0).astype(jnp.int32),
     )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid_x", "grid_y", "chunk", "interpret"),
-)
-def blend_tiles_pallas(
-    gathered: jnp.ndarray,  # (T, max_per_tile, 32)
-    counts: jnp.ndarray,  # (T,) int32
-    scalars: jnp.ndarray,  # (8,) f32
-    grid_x: int,
-    grid_y: int,
-    chunk: int = 256,
-    interpret: bool = False,
-):
-    num_tiles = grid_x * grid_y
-    max_per_tile = gathered.shape[1]
-    kernel = functools.partial(_blend_kernel, chunk=chunk)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, P, 16), lambda t, *_: (t, 0, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 16), jnp.float32),
-        interpret=interpret,
-    )(counts, scalars, gathered)

@@ -102,55 +102,18 @@ def _rasterize_impl(
             idx_table = pairs_to_idx_table(pairs, settings.max_per_tile)
             counts = jnp.minimum(pairs.tile_count, settings.max_per_tile)
         if settings.impl == "pallas":
-            out = _hybrid_render(
-                (h, w, settings.chunk, settings.pallas_interpret),
-                (proj, idx_table, counts, fx, fy, bg),
+            from igs_tpu.ops.pallas_blend import render_tiles_pallas
+
+            out = render_tiles_pallas(
+                proj, idx_table, counts, h, w, fx, fy, bg,
+                chunk=settings.chunk,
+                interpret=settings.pallas_interpret,
             )
         else:
             out = render_tiles(
                 proj, idx_table, h, w, fx, fy, bg, chunk=settings.chunk
             )
     return out, proj
-
-
-def _float0_like(x):
-    import numpy as _np
-
-    return _np.zeros(x.shape, jax.dtypes.float0)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _hybrid_render(static, args):
-    """Pallas forward + XLA-AD backward (identical math both ways)."""
-    from igs_tpu.ops.pallas_blend import render_tiles_pallas
-
-    h, w, chunk, interpret = static
-    proj, idx_table, counts, fx, fy, bg = args
-    return render_tiles_pallas(
-        proj, idx_table, counts, h, w, fx, fy, bg,
-        chunk=chunk, interpret=interpret,
-    )
-
-
-def _hybrid_fwd(static, args):
-    return _hybrid_render(static, args), args
-
-
-def _hybrid_bwd(static, args, cts):
-    h, w, chunk, _ = static
-    proj, idx_table, counts, fx, fy, bg = args
-    _, vjp_fn = jax.vjp(
-        lambda p, fx_, fy_, bg_: render_tiles(
-            p, idx_table, h, w, fx_, fy_, bg_, chunk=chunk
-        ),
-        proj, fx, fy, bg,
-    )
-    g_proj, g_fx, g_fy, g_bg = vjp_fn(cts)
-    return ((g_proj, _float0_like(idx_table), _float0_like(counts),
-             g_fx, g_fy, g_bg),)
-
-
-_hybrid_render.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def rasterize(

@@ -65,3 +65,37 @@ def test_pallas_with_bg():
     np.testing.assert_allclose(
         np.asarray(pal["color"]), np.asarray(ref["color"]),
         atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_full_gradient_parity_all_outputs():
+    """Grads of a loss touching ALL outputs (incl. median) for all params."""
+    cam = make_camera(height=32, width=32)
+    g = random_gaussians(n=96, seed=5)
+    sx = XLA._replace(image_height=32, image_width=32, max_per_tile=256)
+    sp = sx._replace(impl="pallas", pallas_interpret=True)
+
+    def loss(args, settings):
+        xyz, op, sc, ro, shs = args
+        out = rasterize(
+            means3d=xyz, opacity=jax.nn.sigmoid(op), scaling=jnp.exp(sc),
+            rotation=ro / jnp.linalg.norm(ro, axis=-1, keepdims=True),
+            camera=cam, shs=shs, bg=jnp.array([0.1, 0.2, 0.3]),
+            settings=settings,
+        )
+        return (
+            jnp.mean(jnp.abs(out["color"]))
+            + 0.2 * jnp.mean(out["depth"])
+            + 0.1 * jnp.mean(out["mdepth"])
+            + 0.1 * jnp.mean(out["mcoord"])
+            + 0.05 * jnp.mean(out["alpha"])
+            + 0.05 * jnp.mean(out["normal"])
+            + 0.05 * jnp.mean(out["coord"])
+        )
+
+    args = (g.xyz, g.opacity, g.scaling, g.rotation, g.shs)
+    g_ref = jax.grad(lambda a: loss(a, sx))(args)
+    g_pal = jax.grad(lambda a: loss(a, sp))(args)
+    for name, a, b in zip(("xyz", "op", "sc", "ro", "shs"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-3,
+            err_msg=f"grad {name}")
