@@ -1,0 +1,161 @@
+"""Roofline / streaming-rate harness — per-stage timings at N3DV scale.
+
+Measures on the attached accelerator (BASELINE.md targets):
+  * anchor precompute (FPS 8192 + KNN8 at 150k points)
+  * AGM-Net forward (B candidate frames, 4×512² inputs, render eval view)
+  * refine step (rasterize fwd+bwd + Adam) — the key-frame inner loop
+  * rasterizer fwd / fwd+bwd Mpix/s
+and derives the streaming sec/frame:
+  per 5-frame window ≈ AGM_batch + refine_iters·refine_step (+ anchors).
+
+Writes roofline.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=5, K=1):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) / K
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-gaussians", type=int, default=150_000)
+    ap.add_argument("--anchors", type=int, default=8192)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--refine-iters", type=int, default=50)
+    ap.add_argument("--impl", default="pallas")
+    ap.add_argument("--out", default="roofline.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+    from igs_tpu.core.camera import Camera
+    from igs_tpu.core.gaussians import Gaussians
+    from igs_tpu.models.agm import AGMNet
+    from igs_tpu.ops.anchors import select_anchors
+    from igs_tpu.ops.rasterize import RasterSettings, rasterize
+    from igs_tpu.stream.refine import (
+        RefineConfig, init_refine_state, refine_step,
+    )
+
+    n, a, res, b = args.n_gaussians, args.anchors, args.res, args.batch
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    g = Gaussians.create(
+        xyz,
+        rng.uniform(-2, 4, (n, 1)).astype(np.float32),
+        (lambda q: q / np.linalg.norm(q, axis=1, keepdims=True))(
+            rng.normal(size=(n, 4)).astype(np.float32)),
+        rng.uniform(-5.5, -3.5, (n, 3)).astype(np.float32),
+        np.concatenate([
+            rng.uniform(-1, 2, (n, 1, 3)),
+            0.05 * rng.normal(size=(n, 15, 3))], 1).astype(np.float32),
+    )
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 5.0
+    cam = Camera.from_w2c(w2c, 0.9, 0.9, height=res, width=res)
+    bbox = jnp.asarray([[-2.0, -2, -2], [2.0, 2, 2]])
+    settings = RasterSettings(
+        image_height=res, image_width=res, impl=args.impl,
+        max_pairs=1 << 19, max_per_tile=1024, chunk=256,
+    )
+    results = {}
+
+    # 1. anchors
+    sel = jax.jit(lambda x, v: select_anchors(x, bbox, valid=v,
+                                              anchor_size=a, k=8))
+    results["anchors_s"] = timeit(sel, g.xyz, g.valid)
+
+    # 2. rasterize fwd / fwd+bwd
+    fwd = jax.jit(lambda x: rasterize(
+        means3d=x, opacity=g.get_opacity, scaling=g.get_scaling,
+        rotation=g.get_rotation, camera=cam, shs=g.shs,
+        settings=settings)["color"])
+    results["raster_fwd_s"] = timeit(fwd, g.xyz)
+
+    def loss(x):
+        out = rasterize(
+            means3d=x, opacity=g.get_opacity, scaling=g.get_scaling,
+            rotation=g.get_rotation, camera=cam, shs=g.shs,
+            settings=settings)
+        return jnp.mean(jnp.abs(out["color"]))
+
+    fb = jax.jit(jax.grad(loss))
+    results["raster_fwd_bwd_s"] = timeit(fb, g.xyz)
+    results["raster_fwd_bwd_mpix_s"] = res * res / results[
+        "raster_fwd_bwd_s"] / 1e6
+
+    # 3. refine step (full: render + loss + masked Adam + densify stats)
+    state = init_refine_state(g, capacity=n)
+    rcfg = RefineConfig()
+    gt = jnp.zeros((3, res, res))
+    rstep = jax.jit(lambda s: refine_step(
+        s, cam, gt, jnp.zeros(3), rcfg,
+        settings._replace(clamp_grads=False))[0])
+    results["refine_step_s"] = timeit(rstep, state)
+
+    # 4. AGM forward at production dims
+    model = AGMNet()  # 128ch, 6-layer backbone, 4-layer encoder
+    state1 = sel(g.xyz, g.valid)
+    astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * b), g)
+    hw = 512
+    h8 = hw // 8 * 2
+    c2w = np.tile(np.eye(4, dtype=np.float32), (b, 4, 1, 1))
+    c2w[:, :, 2, 3] = -5.0
+    batch = {
+        "cur_images_input": jnp.asarray(
+            rng.uniform(0, 1, (b, 4, 3, hw, hw)), jnp.float32),
+        "next_images_input": jnp.asarray(
+            rng.uniform(0, 1, (b, 4, 3, hw, hw)), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(2, 6, (b, 4, hw, hw)), jnp.float32),
+        "local_rays": jnp.asarray(
+            rng.normal(size=(b, h8, h8, 3)), jnp.float32),
+        "FOV": jnp.full((b, 2), 0.9),
+        "c2w_input": jnp.asarray(c2w),
+        "c2w_output": jnp.asarray(c2w[:, :1]),
+        "background_color": jnp.zeros((b, 3)),
+    }
+    agm_settings = settings._replace(clamp_grads=True)
+    params = model.init(jax.random.PRNGKey(0), batch, astate, gb,
+                        agm_settings)
+    napply = jax.jit(lambda p, bt: model.apply(
+        p, bt, astate, gb, agm_settings)["images_pred"])
+    results["agm_forward_s"] = timeit(napply, params, batch, iters=3)
+
+    # derived: streaming sec/frame for a 5-frame key window
+    window = (
+        results["anchors_s"]
+        + results["agm_forward_s"]
+        + args.refine_iters * results["refine_step_s"]
+    )
+    results["stream_s_per_frame"] = window / b
+    results["stream_fps"] = b / window
+    results["config"] = vars(args)
+
+    print(json.dumps(results, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
