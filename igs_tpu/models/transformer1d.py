@@ -15,10 +15,18 @@ import flax.linen as nn
 
 
 class Attention(nn.Module):
-    """diffusers Attention: q/k/v Dense(no bias) → heads → out Dense(bias)."""
+    """diffusers Attention: q/k/v Dense(no bias) → heads → out Dense(bias).
+
+    Memory-efficient: query-chunked softmax(QKᵀ)V so the (L, L) score
+    matrix never materializes — at the production 8192 anchor tokens the
+    full matrix is ~10 GB and does not fit HBM (the torch reference
+    materializes it; enable_memory_efficient_attention is off in its
+    configs). Exact, not an approximation.
+    """
 
     heads: int = 8
     head_dim: int = 64
+    q_chunk: int = 1024
 
     @nn.compact
     def __call__(self, x):  # (B, L, D)
@@ -29,12 +37,31 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, name="to_v")(x)
 
         def split(t):
-            return t.reshape(b, L, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            return t.reshape(b, L, self.heads, self.head_dim).transpose(
+                0, 2, 1, 3)
 
-        q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhlc,bhmc->bhlm", q, k) / (self.head_dim ** 0.5)
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhlm,bhmc->bhlc", attn, v)
+        q, k, v = split(q), split(k), split(v)  # (B, H, L, C)
+        scale = self.head_dim ** -0.5
+
+        if L <= self.q_chunk:
+            scores = jnp.einsum("bhlc,bhmc->bhlm", q, k) * scale
+            attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhlm,bhmc->bhlc", attn, v)
+        else:
+            nc = -(-L // self.q_chunk)
+            pad = nc * self.q_chunk - L
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            qc = qp.reshape(b, self.heads, nc, self.q_chunk, self.head_dim)
+            qc = qc.transpose(2, 0, 1, 3, 4)  # (nc, B, H, qc, C)
+
+            def block(qb):  # (B, H, qc, C)
+                s = jnp.einsum("bhlc,bhmc->bhlm", qb, k) * scale
+                return jnp.einsum(
+                    "bhlm,bhmc->bhlc", jax.nn.softmax(s, axis=-1), v)
+
+            out = jax.lax.map(block, qc)  # (nc, B, H, qc, C)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(
+                b, self.heads, nc * self.q_chunk, self.head_dim)[:, :, :L]
         out = out.transpose(0, 2, 1, 3).reshape(b, L, inner)
         return nn.Dense(x.shape[-1], name="to_out")(out)
 

@@ -65,7 +65,9 @@ def main():
     gb = jax.tree.map(lambda x: jnp.stack([x] * b), g0)
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
-    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb, settings)
+    params = jax.jit(
+        lambda r: model.init(r, jbatch, state, gb, settings)
+    )(jax.random.PRNGKey(0))
 
     import flax
 

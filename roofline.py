@@ -136,8 +136,9 @@ def main():
         "background_color": jnp.zeros((b, 3)),
     }
     agm_settings = settings._replace(clamp_grads=True)
-    params = model.init(jax.random.PRNGKey(0), batch, astate, gb,
-                        agm_settings)
+    params = jax.jit(
+        lambda r: model.init(r, batch, astate, gb, agm_settings)
+    )(jax.random.PRNGKey(0))
     napply = jax.jit(lambda p, bt: model.apply(
         p, bt, astate, gb, agm_settings)["images_pred"])
     results["agm_forward_s"] = timeit(napply, params, batch, iters=3)

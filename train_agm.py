@@ -53,7 +53,6 @@ def main():
     model = build_model(cfg.system)
     ocfg = build_opt_config(opt)
 
-    batch_size = int(opt.get("batch_size", 4))
     out_h = int(cfg.data["data"].get("output_height", 1014))
     out_w = int(cfg.data["data"].get("output_width", 1352))
     settings = build_raster_settings(out_h, out_w, clamp=True)
@@ -61,8 +60,16 @@ def main():
     anchor_size = int(opt.get("anchor_size", 8192))
     neighbor_k = int(opt.get("neighbor_k", 8))
 
+    import math
+
+    batch_size = int(opt.get("batch_size", 4))
     devices = jax.devices()
-    mesh = make_mesh(data=len(devices), tile=1) if len(devices) > 1 else None
+    # the data axis must divide the batch; use the largest such device count
+    n_data = math.gcd(batch_size, len(devices))
+    mesh = (
+        make_mesh(data=n_data, tile=1, devices=devices[:n_data])
+        if n_data > 1 else None
+    )
 
     def prep_batch(items):
         batch = train_ds.collate(items)
@@ -83,7 +90,9 @@ def main():
 
     # init params (and optionally load the GMFlow backbone weights)
     first = prep_batch([train_ds[i] for i in range(batch_size)])
-    params = model.init(jax.random.PRNGKey(0), *first, settings)
+    params = jax.jit(
+        lambda r: model.init(r, *first, settings)
+    )(jax.random.PRNGKey(0))
     gmflow_path = cfg.system.get("backbone", {}).get(
         "pretrained_model_name_or_path", "")
     if gmflow_path and os.path.exists(gmflow_path):
