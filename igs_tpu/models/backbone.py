@@ -5,8 +5,9 @@ Reference parity: CNNEncoder / ResidualBlock
 (strides 1, 2, 2) → 1×1 conv to 128ch; InstanceNorm (affine-free), ReLU.
 
 Data layout: NCHW at the API boundary (matching the reference tensors and
-the torch checkpoint conversion); convs run in NHWC internally — the
-TPU-native layout — and convert at the edges.
+the torch checkpoint conversion); internally everything runs NHWC — the
+TPU-native conv layout — with exactly ONE transpose at entry and exit
+(per-conv transposes were the dominant cost of the original port).
 """
 
 from __future__ import annotations
@@ -16,7 +17,8 @@ import flax.linen as nn
 
 
 class _Conv(nn.Module):
-    """Conv2d on NCHW with torch-style padding."""
+    """NHWC conv with torch-style padding; param tree shape-compatible
+    with the previous NCHW wrapper (inner module named 'conv')."""
 
     features: int
     kernel: int
@@ -26,9 +28,8 @@ class _Conv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):  # (B, C, H, W)
-        x = x.transpose(0, 2, 3, 1)
-        x = nn.Conv(
+    def __call__(self, x):  # (B, H, W, C)
+        return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -37,16 +38,15 @@ class _Conv(nn.Module):
             use_bias=self.use_bias,
             name="conv",
         )(x)
-        return x.transpose(0, 3, 1, 2)
 
 
 class _InstanceNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):  # NCHW
-        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        var = jnp.var(x, axis=(-2, -1), keepdims=True)
+    def __call__(self, x):  # NHWC
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
         return (x - mean) / jnp.sqrt(var + self.eps)
 
 
@@ -56,7 +56,7 @@ class ResidualBlock(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x):  # NHWC
         y = x
         y = nn.relu(
             _InstanceNorm()(
@@ -75,7 +75,7 @@ class ResidualBlock(nn.Module):
                 )(y)
             )
         )
-        if self.stride != 1 or x.shape[1] != self.planes:
+        if self.stride != 1 or x.shape[-1] != self.planes:
             x = _InstanceNorm()(
                 _Conv(self.planes, 1, stride=self.stride, name="downsample")(x)
             )
@@ -88,16 +88,14 @@ class CNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, 3, H, W) → (B, C, H/8, W/8)
         dims = [64, 96, 128]
+        x = x.transpose(0, 2, 3, 1)  # → NHWC once
         x = _Conv(dims[0], 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
         x = nn.relu(_InstanceNorm()(x))
-        # layer1: stride 1
         x = ResidualBlock(dims[0], stride=1, name="layer1_0")(x)
         x = ResidualBlock(dims[0], stride=1, name="layer1_1")(x)
-        # layer2: stride 2
         x = ResidualBlock(dims[1], stride=2, name="layer2_0")(x)
         x = ResidualBlock(dims[1], stride=1, name="layer2_1")(x)
-        # layer3: stride 2 (single-scale config)
         x = ResidualBlock(dims[2], stride=2, name="layer3_0")(x)
         x = ResidualBlock(dims[2], stride=1, name="layer3_1")(x)
         x = _Conv(self.output_dim, 1, name="conv2")(x)
-        return x
+        return x.transpose(0, 3, 1, 2)  # → NCHW once
