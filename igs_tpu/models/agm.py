@@ -125,6 +125,7 @@ class AGMNet(nn.Module):
         anchor_state: AnchorState,  # batched (B leading axis)
         gaussians: Gaussians,  # batched (B leading axis)
         settings: RasterSettings,
+        depth_settings: Optional[RasterSettings] = None,
     ) -> Dict[str, Any]:
         """Run AGM-Net on a batch. Parity: _forward_v3 (IGS.py:114-181).
 
@@ -152,26 +153,58 @@ class AGMNet(nn.Module):
 
         fovx = batch["FOV"][:, 0]
         fovy = batch["FOV"][:, 1]
+        bgs = batch.get("background_color", jnp.zeros((b, 3), jnp.float32))
 
-        def render_scene(gs, res, mask, c2ws, fx, fy, bg):
-            cams = jax.vmap(
-                lambda c2w: Camera.from_c2w(
-                    c2w, (fx, fy),
-                    (settings.image_height, settings.image_width),
+        if depth_settings is None:
+            def render_scene(gs, res, mask, c2ws, fx, fy, bg):
+                cams = jax.vmap(
+                    lambda c2w: Camera.from_c2w(
+                        c2w, (fx, fy),
+                        (settings.image_height, settings.image_width),
+                    )
+                )(c2ws)
+                return deform_and_render(gs, res, mask, cams, bg, settings)
+
+            out = jax.vmap(render_scene)(
+                gaussians, residuals, anchor_state.mask,
+                batch["c2w_output"], fovx, fovy, bgs,
+            )
+        else:
+            # streaming split: view 0 (eval) at full resolution, the rest
+            # (depth-carry views) at depth_settings' resolution — they only
+            # feed the /8-res ModLN conditioning (IGS.py:201), so low-res
+            # rendering is lossless for the pipeline and ~V× cheaper.
+            def render_split(gs, res, mask, c2ws, fx, fy, bg):
+                gdef = gs.deform(
+                    res_xyz=res["xyz"],
+                    res_rotation=res.get("rotation"),
+                    mask=mask,
                 )
-            )(c2ws)
-            return deform_and_render(gs, res, mask, cams, bg, settings)
+                from igs_tpu.models.renderer import render_views
 
-        out = jax.vmap(render_scene)(
-            gaussians,
-            residuals,
-            anchor_state.mask,
-            batch["c2w_output"],
-            fovx,
-            fovy,
-            batch.get(
-                "background_color", jnp.zeros((b, 3), jnp.float32)
-            ),
-        )
+                cam0 = Camera.from_c2w(
+                    c2ws[0], (fx, fy),
+                    (settings.image_height, settings.image_width))
+                cams0 = jax.tree.map(lambda x: jnp.asarray(x)[None], cam0)
+                out0 = render_views(gdef, cams0, bg, settings)
+                camsd = jax.vmap(
+                    lambda c2w: Camera.from_c2w(
+                        c2w, (fx, fy),
+                        (depth_settings.image_height,
+                         depth_settings.image_width),
+                    )
+                )(c2ws[1:])
+                outd = render_views(gdef, camsd, bg, depth_settings)
+                return {
+                    "images_pred": out0["images_pred"],
+                    "depth_pred_eval": out0["depth_pred"],
+                    "depth_pred": outd["depth_pred"],
+                    "3dgs": gdef,
+                }
+
+            out = jax.vmap(render_split)(
+                gaussians, residuals, anchor_state.mask,
+                batch["c2w_output"], fovx, fovy, bgs,
+            )
         out["motion_feature"] = triplane
         return out

@@ -42,6 +42,9 @@ class StreamConfig:
     eval_batch_size: int = 5
     refine_gs: bool = True
     refine_iterations: int = 50
+    # depth-carry views render at this resolution (they only feed the
+    # /8-res conditioning); 0 = render all views at full resolution
+    depth_view_res: int = 256
     use_densify: bool = True
     densify_until_iter: int = 100
     densify_from_iter: int = 0
@@ -76,10 +79,20 @@ class StreamingPipeline:
         # (infer_batch.py:39-124) and the clamp one inside AGM.
         self.refine_settings = out_settings._replace(clamp_grads=False)
         self.agm_settings = out_settings._replace(clamp_grads=True)
+        if cfg.depth_view_res:
+            r = cfg.depth_view_res
+            self.depth_settings = self.agm_settings._replace(
+                image_height=r, image_width=r,
+                max_pairs=min(self.agm_settings.max_pairs, 1 << 18),
+                max_per_tile=min(self.agm_settings.max_per_tile, 512),
+            )
+        else:
+            self.depth_settings = None
 
         self._agm_apply = jax.jit(
             lambda params, batch, state, gaussians: model.apply(
-                params, batch, state, gaussians, self.agm_settings
+                params, batch, state, gaussians, self.agm_settings,
+                depth_settings=self.depth_settings,
             )
         )
         self._select_anchors = jax.jit(
@@ -245,7 +258,10 @@ class StreamingPipeline:
             out_images.extend(list(pred))
 
             # carry state: depth at the input views of the LAST frame
-            depth_pred = out["depth_pred"][-1:, 1:]
+            if self.depth_settings is not None:
+                depth_pred = out["depth_pred"][-1:]  # already views 1:
+            else:
+                depth_pred = out["depth_pred"][-1:, 1:]
             stream_gs = jax.tree.map(
                 lambda x: x[-1] if x is not None else None, out["3dgs"]
             )

@@ -132,15 +132,22 @@ def main():
             rng.normal(size=(b, h8, h8, 3)), jnp.float32),
         "FOV": jnp.full((b, 2), 0.9),
         "c2w_input": jnp.asarray(c2w),
-        "c2w_output": jnp.asarray(c2w[:, :1]),
+        # streaming renders 1 eval view + 4 depth-carry views per frame
+        "c2w_output": jnp.asarray(
+            np.concatenate([c2w[:, :1], c2w], axis=1)),
         "background_color": jnp.zeros((b, 3)),
     }
     agm_settings = settings._replace(clamp_grads=True)
+    depth_settings = agm_settings._replace(
+        image_height=256, image_width=256,
+        max_pairs=1 << 18, max_per_tile=512)
     params = jax.jit(
-        lambda r: model.init(r, batch, astate, gb, agm_settings)
+        lambda r: model.init(r, batch, astate, gb, agm_settings,
+                             depth_settings=depth_settings)
     )(jax.random.PRNGKey(0))
     napply = jax.jit(lambda p, bt: model.apply(
-        p, bt, astate, gb, agm_settings)["images_pred"])
+        p, bt, astate, gb, agm_settings,
+        depth_settings=depth_settings)["images_pred"])
     results["agm_forward_s"] = timeit(napply, params, batch, iters=3)
 
     # derived: streaming sec/frame for a 5-frame key window
