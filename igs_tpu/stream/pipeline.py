@@ -80,7 +80,8 @@ class StreamingPipeline:
         self.refine_settings = out_settings._replace(clamp_grads=False)
         self.agm_settings = out_settings._replace(clamp_grads=True)
         if cfg.depth_view_res:
-            r = cfg.depth_view_res
+            r = min(cfg.depth_view_res, out_settings.image_height,
+                    out_settings.image_width)
             self.depth_settings = self.agm_settings._replace(
                 image_height=r, image_width=r,
                 max_pairs=min(self.agm_settings.max_pairs, 1 << 18),
