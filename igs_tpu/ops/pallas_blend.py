@@ -44,6 +44,7 @@ _MIN_ALPHA = 1.0 / 255.0
 P = TILE_X * TILE_Y  # 256 pixels per tile
 HI = jax.lax.Precision.HIGHEST
 
+_XY = slice(0, 2)
 _COLOR = slice(6, 9)
 _VP = slice(9, 12)
 _T = slice(12, 13)

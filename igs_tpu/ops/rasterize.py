@@ -25,7 +25,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from igs_tpu.ops import projection
 from igs_tpu.ops.binning import build_tile_pairs, image_tile_grid
 from igs_tpu.ops.projection import project
 from igs_tpu.ops.raster_ref import render_reference
