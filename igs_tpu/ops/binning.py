@@ -48,45 +48,58 @@ def build_tile_pairs(
     rect_max = proj.rect_max[order]
     tiles_touched = proj.tiles_touched[order]
 
-    # 2. expand slots → (gaussian, tile) pairs under static budget
+    # 2. expand slots → (gaussian, tile) pairs under static budget.
+    # Every per-gaussian column is broadcast to its pair slots with a
+    # single packed jnp.repeat — narrow per-slot gathers (values[idx]) were
+    # the dominant binning cost on TPU (see tools_bench_binning.py).
     offsets = jnp.cumsum(tiles_touched)  # inclusive
     total = offsets[-1]
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    # method="sort": slots are ascending, so a merge (one fused sort) beats
-    # the default per-query binary search by ~100× on TPU
-    g_sorted = jnp.searchsorted(
-        offsets, slots, side="right", method="sort"
-    ).astype(jnp.int32)
-    g_clamped = jnp.minimum(g_sorted, n - 1)
-    base = jnp.where(g_clamped > 0, offsets[jnp.maximum(g_clamped - 1, 0)], 0)
-    local = slots - base
-    rw = jnp.maximum(rect_max[g_clamped, 0] - rect_min[g_clamped, 0], 1)
-    tile_x = rect_min[g_clamped, 0] + local % rw
-    tile_y = rect_min[g_clamped, 1] + local // rw
+    base = jnp.concatenate([jnp.zeros(1, offsets.dtype), offsets[:-1]])
+    packed = jnp.stack(
+        [
+            rect_min[:, 0],
+            rect_min[:, 1],
+            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1),
+            base.astype(jnp.int32),
+            order.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # (N, 5)
+    exp = jnp.repeat(
+        packed, tiles_touched, axis=0, total_repeat_length=max_pairs
+    )  # (max_pairs, 5)
+    local = slots - exp[:, 3]
+    # variable-divisor int div/mod is microcoded on the VPU; emulate in f32
+    # (exact: local < 2²⁴, rw ≤ 4096)
+    rw_f = exp[:, 2].astype(jnp.float32)
+    q = jnp.floor(local.astype(jnp.float32) / rw_f).astype(jnp.int32)
+    tile_x = exp[:, 0] + (local - q * exp[:, 2])
+    tile_y = exp[:, 1] + q
     pair_valid = slots < total
     tile_id = jnp.where(
         pair_valid, tile_y * grid_x + tile_x, num_tiles
     ).astype(jnp.int32)
-    gauss_id = jnp.where(pair_valid, order[g_clamped].astype(jnp.int32), -1)
+    gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
 
     # 3. stable sort pairs by tile (depth order preserved within tile)
     tile_sorted, gauss_sorted = jax.lax.sort(
         (tile_id, gauss_id), num_keys=1, is_stable=True
     )
 
-    # 4. tile ranges
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(
-        tile_sorted, tids, side="left", method="sort").astype(jnp.int32)
-    end = jnp.searchsorted(
-        tile_sorted, tids, side="right", method="sort").astype(jnp.int32)
+    # 4. tile ranges from per-tile counts (stable sort ⇒ start = prefix sum)
+    counts_all = jax.ops.segment_sum(
+        jnp.ones(max_pairs, jnp.int32), tile_id, num_segments=num_tiles + 1
+    )
+    counts = counts_all[:num_tiles]
+    start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     return TilePairs(
         gauss_id=gauss_sorted,
         tile_id=tile_sorted,
         num_pairs=jnp.minimum(total, max_pairs).astype(jnp.int32),
         tile_start=start,
-        tile_count=end - start,
+        tile_count=counts,
         overflowed=total > max_pairs,
     )
 
