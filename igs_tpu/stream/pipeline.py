@@ -155,30 +155,41 @@ class StreamingPipeline:
         return 1.0 / float(np.mean(durations))
 
     def _refine(self, stream_gs: Gaussians, refine_data, radius) -> Gaussians:
-        """The key-frame refine loop (infer_batch.py:260-341)."""
-        cfg, rcfg = self.cfg, self.refine_cfg
+        """The key-frame refine loop (infer_batch.py:260-341).
+
+        Fused: the whole refine_iterations loop (incl. interval densify)
+        runs as ONE compiled program (stream/refine.py refine_run).
+        """
+        from igs_tpu.stream.refine import refine_run
+
+        cfg = self.cfg
         state = init_refine_state(stream_gs, capacity=cfg.max_num)
-        images = list(refine_data["images"])
-        c2ws = list(refine_data["c2ws"])
-        pool_img, pool_cam = [], []
+        images = refine_data["images"]
         fov = refine_data["FOV"]
         bg = jnp.asarray(refine_data["bg"])
-        rng = np.random.RandomState(0)
         h, w = images[0].shape[-2:]
-        for it in range(cfg.refine_iterations):
-            if not pool_img:
-                pool_img, pool_cam = list(images), list(c2ws)
-            pick = rng.randint(len(pool_img))
-            gt = jnp.asarray(pool_img.pop(pick))
-            cam = self._camera(pool_cam.pop(pick), fov, h, w)
-            state, _ = self._refine_step(state, cam, gt, bg)
-            if (
-                rcfg.use_densify
-                and it < rcfg.densify_until_iter
-                and it > rcfg.densify_from_iter
-                and it % rcfg.densification_interval == 0
-            ):
-                state = self._densify(state, jnp.float32(radius))
+        v = len(images)
+        gts = jnp.asarray(np.stack(images))
+        cams = [self._camera(c, fov, h, w) for c in refine_data["c2ws"]]
+        cameras = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+        # pop-without-replacement view sampling (infer_batch.py:286-294)
+        rng = np.random.RandomState(0)
+        order = []
+        while len(order) < cfg.refine_iterations:
+            order.extend(rng.permutation(v).tolist())
+        view_order = jnp.asarray(order[: cfg.refine_iterations], jnp.int32)
+
+        if not hasattr(self, "_refine_run_jit"):
+            self._refine_run_jit = jax.jit(
+                lambda st, cm, g, vo, ext: refine_run(
+                    st, cm, g, vo, bg, self.refine_cfg,
+                    self.refine_settings, ext, cfg.refine_iterations,
+                ),
+                donate_argnums=(0,),
+            )
+        state = self._refine_run_jit(
+            state, cameras, gts, view_order, jnp.float32(radius)
+        )
         return convert2stream(state)
 
     # ------------------------------------------------------------------

@@ -344,6 +344,46 @@ def densify_and_prune(
     )
 
 
+def refine_run(
+    state: RefineState,
+    cameras: Camera,  # stacked pytree over the key frame's training views
+    gt_images: jnp.ndarray,  # (V, 3, H, W)
+    view_order: jnp.ndarray,  # (iters,) int32 — view index per iteration
+    bg: jnp.ndarray,
+    cfg: RefineConfig,
+    settings: RasterSettings,
+    extent,
+    iters: int,
+) -> RefineState:
+    """The ENTIRE key-frame refine loop as one compiled program.
+
+    The reference runs refine_iterations separate fwd+bwd dispatches
+    (infer_batch.py:279-324); with fixed-capacity state every step is
+    shape-stable, so the whole loop — including interval densification —
+    fuses into a single lax.fori_loop (no per-step host round trips).
+    """
+
+    def body(it, st):
+        cam = jax.tree.map(lambda x: x[view_order[it]], cameras)
+        gt = gt_images[view_order[it]]
+        st, _ = refine_step(st, cam, gt, bg, cfg, settings)
+        if cfg.use_densify:
+            do_dens = (
+                (it < cfg.densify_until_iter)
+                & (it > cfg.densify_from_iter)
+                & (it % cfg.densification_interval == 0)
+            )
+            st = jax.lax.cond(
+                do_dens,
+                lambda s: densify_and_prune(s, cfg, jnp.float32(extent)),
+                lambda s: s,
+                st,
+            )
+        return st
+
+    return jax.lax.fori_loop(0, iters, body, state)
+
+
 def convert2stream(state: RefineState) -> Gaussians:
     """Back to the stream representation (gaussian_model.py:350-367)."""
     return state.gaussians

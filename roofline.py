@@ -104,14 +104,24 @@ def main():
     results["raster_fwd_bwd_mpix_s"] = res * res / results[
         "raster_fwd_bwd_s"] / 1e6
 
-    # 3. refine step (full: render + loss + masked Adam + densify stats)
+    # 3. refine: one fused refine_iterations program (stream/refine.py)
+    from igs_tpu.stream.refine import refine_run
+
     state = init_refine_state(g, capacity=n)
     rcfg = RefineConfig()
-    gt = jnp.zeros((3, res, res))
-    rstep = jax.jit(lambda s: refine_step(
-        s, cam, gt, jnp.zeros(3), rcfg,
-        settings._replace(clamp_grads=False))[0])
-    results["refine_step_s"] = timeit(rstep, state)
+    nviews = 18  # sear_steak training views
+    gts = jnp.zeros((nviews, 3, res, res))
+    cams = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[cam for _ in range(nviews)])
+    order = jnp.asarray(
+        np.arange(args.refine_iters) % nviews, jnp.int32)
+    rloop = jax.jit(lambda s: refine_run(
+        s, cams, gts, order, jnp.zeros(3), rcfg,
+        settings._replace(clamp_grads=False), jnp.float32(3.0),
+        args.refine_iters))
+    results["refine_loop_s"] = timeit(rloop, state, iters=3)
+    results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
     model = AGMNet()  # 128ch, 6-layer backbone, 4-layer encoder
@@ -154,7 +164,7 @@ def main():
     window = (
         results["anchors_s"]
         + results["agm_forward_s"]
-        + args.refine_iters * results["refine_step_s"]
+        + results["refine_loop_s"]
     )
     results["stream_s_per_frame"] = window / b
     results["stream_fps"] = b / window
