@@ -69,7 +69,8 @@ def trainable_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
-def make_optimizer(params, cfg: OptConfig, total_steps: int):
+def make_optimizer(params, cfg: OptConfig, total_steps: int,
+                   grad_accum: int = 1):
     sched = onecycle_schedule(cfg.lr, total_steps, cfg.warmup_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip),
@@ -81,6 +82,9 @@ def make_optimizer(params, cfg: OptConfig, total_steps: int):
         ),
     )
     tx = optax.masked(tx, trainable_mask(params))
+    if grad_accum > 1:
+        # accelerator.accumulate parity (main.py:231)
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx, sched
 
 

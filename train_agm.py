@@ -112,7 +112,9 @@ def main():
 
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     total_steps = ocfg.num_epochs * steps_per_epoch
-    tx, sched = make_optimizer(params, ocfg, total_steps)
+    grad_accum = int(opt.get("gradient_accumulation_steps", 1))
+    tx, sched = make_optimizer(params, ocfg, total_steps,
+                               grad_accum=grad_accum)
     opt_state = tx.init(params)
     step_fn = make_train_step(model, tx, ocfg, settings, mesh=mesh)
 
@@ -152,6 +154,40 @@ def main():
         save_checkpoint(
             os.path.join(workspace, str(epoch), "params.msgpack"),
             params, opt_state, step=global_step)
+
+        # per-epoch eval (main.py:378-432): PSNR over test items + image dump
+        try:
+            test_ds = build_dataset(cfg.data, training=False)
+            from igs_tpu.train.losses import psnr as psnr_fn
+            from igs_tpu.utils.saving import save_image
+
+            n_eval = min(len(test_ds), 2 * batch_size)
+            psnrs = []
+            for i0 in range(0, n_eval, batch_size):
+                items = [test_ds[i] for i in range(
+                    i0, min(i0 + batch_size, n_eval))]
+                if len(items) < batch_size:
+                    break
+                ebatch, estate, egs = prep_batch(items)
+                out = jax.jit(model.apply)(
+                    params, ebatch, estate, egs, settings)
+                psnrs.append(float(psnr_fn(
+                    out["images_pred"], ebatch["images_output"])))
+                if i0 == 0:
+                    save_image(
+                        os.path.join(workspace, str(epoch), "eval_pred.png"),
+                        np.asarray(out["images_pred"][0, 0]))
+                    save_image(
+                        os.path.join(workspace, str(epoch), "eval_gt.png"),
+                        np.asarray(ebatch["images_output"][0, 0]))
+            if psnrs:
+                rec = {"epoch": epoch, "eval_psnr": float(np.mean(psnrs))}
+                print(rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"step": global_step, **rec}) + "\n")
+        except Exception as e:  # eval must not kill training
+            print(f"eval skipped: {e}")
+
         if args.max_steps and global_step >= args.max_steps:
             break
     print("training done:", global_step, "steps")
