@@ -114,8 +114,17 @@ def _pix_coords(t, scalars_ref):
     return pixx, pixy
 
 
-def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int):
-    t = pl.program_id(0)
+def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
+                tiles_per_block: int = 1):
+    for _tt in range(tiles_per_block):
+        _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref,
+                      chunk=chunk, tt=_tt,
+                      tiles_per_block=tiles_per_block)
+
+
+def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
+                  tt: int, tiles_per_block: int):
+    t = pl.program_id(0) * tiles_per_block + tt
     count = counts_ref[t]
     pixx, pixy = _pix_coords(t, scalars_ref)
     tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
@@ -139,7 +148,7 @@ def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int):
     def body(carry):
         (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos,
          c) = carry
-        f = feats_ref[0, pl.ds(c * chunk, chunk), :]
+        f = feats_ref[tt, pl.ds(c * chunk, chunk), :]
         slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
         live = slot < count
         dx, dy, power, _, alpha = _common_chunk(f, pixx, pixy)
@@ -203,7 +212,7 @@ def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int):
 
     out = jax.lax.while_loop(cond, body, carry0)
     logT, _, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos, _ = out
-    out_ref[0, :, :] = jnp.concatenate(
+    out_ref[tt, :, :] = jnp.concatenate(
         [
             acc_cw[:, 0:3],            # 0:3  C
             acc_cw[:, 3:4],            # 3    W
@@ -220,16 +229,24 @@ def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int):
 
 
 def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
-                dfeats_ref, *, chunk: int):
-    t = pl.program_id(0)
+                dfeats_ref, *, chunk: int, tiles_per_block: int = 1):
+    for _tt in range(tiles_per_block):
+        _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
+                      dfeats_ref, chunk=chunk, tt=_tt,
+                      tiles_per_block=tiles_per_block)
+
+
+def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
+                  dfeats_ref, *, chunk: int, tt: int, tiles_per_block: int):
+    t = pl.program_id(0) * tiles_per_block + tt
     count = counts_ref[t]
     pixx, pixy = _pix_coords(t, scalars_ref)
     tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
     triu_incl = tri.T  # suffix inclusive
     triu_excl = triu_incl - jnp.eye(chunk, dtype=jnp.float32)
 
-    fwd = fwd_ref[0, :, :]  # (P, 24)
-    cot = cot_ref[0, :, :]  # (P, 24)
+    fwd = fwd_ref[tt, :, :]  # (P, 24)
+    cot = cot_ref[tt, :, :]  # (P, 24)
     logT_final = fwd[:, 15:16].T  # (1, P)
     ncontrib = fwd[:, 16:17].T
     medpos = fwd[:, 17:18].T
@@ -242,7 +259,7 @@ def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
     ulogT = cot[:, 15:16].T  # (1, P)
 
     # zero the whole grad block (slots beyond the walk stay zero)
-    dfeats_ref[0, :, :] = jnp.zeros_like(dfeats_ref[0, :, :])
+    dfeats_ref[tt, :, :] = jnp.zeros_like(dfeats_ref[tt, :, :])
 
     nc_max = jnp.max(ncontrib).astype(jnp.int32)
     limit = jnp.minimum(count, nc_max)
@@ -253,7 +270,7 @@ def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
 
     def body(carry):
         s_carry, logT_end, c = carry
-        f = feats_ref[0, pl.ds(c * chunk, chunk), :]
+        f = feats_ref[tt, pl.ds(c * chunk, chunk), :]
         slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
         dx, dy, power, expp, alpha = _common_chunk(f, pixx, pixy)
         slotf = slot.astype(jnp.float32)
@@ -374,7 +391,7 @@ def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
             ],
             axis=1,
         )
-        dfeats_ref[0, pl.ds(c * chunk, chunk), :] = block
+        dfeats_ref[tt, pl.ds(c * chunk, chunk), :] = block
 
         s_next = s_carry + jnp.sum(wg, axis=0, keepdims=True)
         logT_next = logT_end - jnp.sum(
@@ -388,16 +405,18 @@ def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
     )
 
 
-def _grid_spec(num_tiles, max_per_tile, extra_specs=()):
-    return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
-            *extra_specs,
-        ],
-        out_specs=pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
-    )
+def _pick_tpb(num_tiles: int, max_per_tile: int, max_tpb: int) -> int:
+    """Tiles per grid step: amortizes per-step overhead (grid steps are
+    sequential on a TPU core). The backward kernel streams two
+    (maxpt, 32) blocks per tile and larger intermediates, so its cap is
+    lower (VMEM stack is ~16 MB; tpb=8 overflows it in backward)."""
+    cap = max_tpb
+    if max_per_tile > 1024:
+        cap = max(1, cap // (max_per_tile // 1024))
+    for tpb in (8, 4, 2):
+        if tpb <= cap and num_tiles % tpb == 0:
+            return tpb
+    return 1
 
 
 @functools.partial(
@@ -407,9 +426,18 @@ def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret):
     """(T, maxpt, 32) gathered feats → (T, P, 24) raw accumulators."""
     num_tiles = grid_x * grid_y
     max_per_tile = gathered.shape[1]
+    tpb = _pick_tpb(num_tiles, max_per_tile, max_tpb=8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles // tpb,),
+        in_specs=[
+            pl.BlockSpec((tpb, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+    )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk),
-        grid_spec=_grid_spec(num_tiles, max_per_tile),
+        functools.partial(_fwd_kernel, chunk=chunk, tiles_per_block=tpb),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, P, 24), jnp.float32),
         interpret=interpret,
     )(counts, scalars, gathered)
@@ -428,19 +456,20 @@ def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, res, cot):
     gathered, counts, scalars, fwd_out = res
     num_tiles = grid_x * grid_y
     max_per_tile = gathered.shape[1]
+    tpb = _pick_tpb(num_tiles, max_per_tile, max_tpb=2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_tiles // tpb,),
         in_specs=[
-            pl.BlockSpec((1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+            (tpb, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
     )
     dgathered = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk),
+        functools.partial(_bwd_kernel, chunk=chunk, tiles_per_block=tpb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (num_tiles, max_per_tile, 32), jnp.float32),

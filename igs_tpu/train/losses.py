@@ -44,7 +44,11 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     """img1/img2: (..., C, H, W). Returns (mean, map) like the reference."""
-    win = jnp.asarray(_gaussian_window(window_size, 1.5))
+    win2d = _gaussian_window(window_size, 1.5)
+    # the window is an outer product g gᵀ — run it separably (11×1 then
+    # 1×11): ~5× fewer MACs, same values
+    g1d = jnp.asarray(win2d[:, window_size // 2])
+    g1d = g1d / jnp.sum(g1d)
     pad = window_size // 2
 
     lead = img1.shape[:-2]
@@ -53,10 +57,15 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     def blur(x):
         x = x.reshape(-1, 1, h, w)
         y = jax.lax.conv_general_dilated(
-            x,
-            win[None, None],
+            x, g1d[:, None][None, None],
             window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
+            padding=[(pad, pad), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        y = jax.lax.conv_general_dilated(
+            y, g1d[None, :][None, None],
+            window_strides=(1, 1),
+            padding=[(0, 0), (pad, pad)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
         return y.reshape(*lead, h, w)
