@@ -115,15 +115,15 @@ def _pix_coords(t, scalars_ref):
 
 
 def _fwd_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
-                tiles_per_block: int = 1):
+                tiles_per_block: int = 1, mode: str = "full"):
     for _tt in range(tiles_per_block):
         _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref,
                       chunk=chunk, tt=_tt,
-                      tiles_per_block=tiles_per_block)
+                      tiles_per_block=tiles_per_block, mode=mode)
 
 
 def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
-                  tt: int, tiles_per_block: int):
+                  tt: int, tiles_per_block: int, mode: str = "full"):
     t = pl.program_id(0) * tiles_per_block + tt
     count = counts_ref[t]
     pixx, pixy = _pix_coords(t, scalars_ref)
@@ -172,27 +172,28 @@ def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
         f_n = jnp.concatenate([f[:, _NRM], jnp.zeros_like(ones)], axis=1)
 
         acc_cw = acc_cw + jnp.dot(wt, f_cw, precision=HI)
-        acc_cd = (
-            acc_cd
-            + jnp.dot(wt, f_cd_w, precision=HI)
-            + jnp.dot(wdx.T, f_cd_x, precision=HI)
-            + jnp.dot(wdy.T, f_cd_y, precision=HI)
-        )
-        acc_n = acc_n + jnp.dot(wt, f_n, precision=HI)
-
-        med = (accept & (t_before > 0.5)).astype(jnp.float32)
-        suffix = jnp.dot(tri.T, med, precision=HI)
-        last = med * (suffix < 1.5)
-        has = jnp.sum(last, axis=0, keepdims=True)
-        med_new = (
-            jnp.dot(last.T, f_cd_w, precision=HI)
-            + jnp.dot((last * dx).T, f_cd_x, precision=HI)
-            + jnp.dot((last * dy).T, f_cd_y, precision=HI)
-        )
-        acc_med = jnp.where(has.T > 0.5, med_new, acc_med)
         slotf = slot.astype(jnp.float32)
-        medpos_new = jnp.sum(last * slotf, axis=0, keepdims=True)
-        medpos = jnp.where(has > 0.5, medpos_new, medpos)
+        if mode == "full":
+            acc_cd = (
+                acc_cd
+                + jnp.dot(wt, f_cd_w, precision=HI)
+                + jnp.dot(wdx.T, f_cd_x, precision=HI)
+                + jnp.dot(wdy.T, f_cd_y, precision=HI)
+            )
+            acc_n = acc_n + jnp.dot(wt, f_n, precision=HI)
+
+            med = (accept & (t_before > 0.5)).astype(jnp.float32)
+            suffix = jnp.dot(tri.T, med, precision=HI)
+            last = med * (suffix < 1.5)
+            has = jnp.sum(last, axis=0, keepdims=True)
+            med_new = (
+                jnp.dot(last.T, f_cd_w, precision=HI)
+                + jnp.dot((last * dx).T, f_cd_x, precision=HI)
+                + jnp.dot((last * dy).T, f_cd_y, precision=HI)
+            )
+            acc_med = jnp.where(has.T > 0.5, med_new, acc_med)
+            medpos_new = jnp.sum(last * slotf, axis=0, keepdims=True)
+            medpos = jnp.where(has > 0.5, medpos_new, medpos)
 
         acceptf = accept.astype(jnp.float32)
         ncontrib = jnp.maximum(
@@ -229,15 +230,17 @@ def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
 
 
 def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
-                dfeats_ref, *, chunk: int, tiles_per_block: int = 1):
+                dfeats_ref, *, chunk: int, tiles_per_block: int = 1,
+                mode: str = "full"):
     for _tt in range(tiles_per_block):
         _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
                       dfeats_ref, chunk=chunk, tt=_tt,
-                      tiles_per_block=tiles_per_block)
+                      tiles_per_block=tiles_per_block, mode=mode)
 
 
 def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
-                  dfeats_ref, *, chunk: int, tt: int, tiles_per_block: int):
+                  dfeats_ref, *, chunk: int, tt: int, tiles_per_block: int,
+                  mode: str = "full"):
     t = pl.program_id(0) * tiles_per_block + tt
     count = counts_ref[t]
     pixx, pixy = _pix_coords(t, scalars_ref)
@@ -301,14 +304,18 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
                 a, b, (((1,), (1,)), ((), ())), precision=HI)
 
         uCW = jnp.concatenate([uC, uW], axis=1)
-        uN4 = jnp.concatenate([uN, jnp.zeros((P, 1), jnp.float32)], axis=1)
-        g = (
-            dotT(f_cw, uCW)
-            + dotT(f_cd_w, uCD)
-            + dx * dotT(f_cd_x, uCD)
-            + dy * dotT(f_cd_y, uCD)
-            + dotT(f_n, uN4)
-        )  # (chunk, P)
+        if mode == "full":
+            uN4 = jnp.concatenate(
+                [uN, jnp.zeros((P, 1), jnp.float32)], axis=1)
+            g = (
+                dotT(f_cw, uCW)
+                + dotT(f_cd_w, uCD)
+                + dx * dotT(f_cd_x, uCD)
+                + dy * dotT(f_cd_y, uCD)
+                + dotT(f_n, uN4)
+            )  # (chunk, P)
+        else:
+            g = dotT(f_cw, uCW)
         wg = w * g
         s_cur = s_carry + jnp.dot(triu_excl, wg, precision=HI)  # Σ_{j>i}
 
@@ -322,23 +329,25 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
         dop_px = da * expp * notclip  # (chunk, P), sum later
 
         # median one-hot (slot of the median contributor)
-        lastm = (
-            (slotf == medpos) & (medpos >= 0.0)
-        ).astype(jnp.float32)  # (chunk, P)
-        ldx = lastm * dx
-        ldy = lastm * dy
-
-        # d/d dx, dy
-        ddx = (
-            dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
-            + w * dotT(f_cd_x, uCD)
-            + lastm * dotT(f_cd_x, uMed)
-        )
-        ddy = (
-            dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
-            + w * dotT(f_cd_y, uCD)
-            + lastm * dotT(f_cd_y, uMed)
-        )
+        if mode == "full":
+            lastm = (
+                (slotf == medpos) & (medpos >= 0.0)
+            ).astype(jnp.float32)  # (chunk, P)
+            ldx = lastm * dx
+            ldy = lastm * dy
+            ddx = (
+                dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
+                + w * dotT(f_cd_x, uCD)
+                + lastm * dotT(f_cd_x, uMed)
+            )
+            ddy = (
+                dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
+                + w * dotT(f_cd_y, uCD)
+                + lastm * dotT(f_cd_y, uMed)
+            )
+        else:
+            ddx = dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
+            ddy = dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
 
         wdx = w * dx
         wdy = w * dy
@@ -360,19 +369,25 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
         )  # (chunk, 3)
         dop = jnp.sum(dop_px, axis=1, keepdims=True)  # (chunk, 1)
         dcolor = jnp.dot(w, uC, precision=HI)  # (chunk, 3)
-        dvp_t = (
-            jnp.dot(w, uCD, precision=HI)
-            + jnp.dot(lastm, uMed, precision=HI)
-        )  # (chunk, 4): vp(3) + t(1)
-        dcpx_rp0 = (
-            jnp.dot(wdx, uCD, precision=HI)
-            + jnp.dot(ldx, uMed, precision=HI)
-        )  # (chunk, 4): cpx(3) + rp0(1)
-        dcpy_rp1 = (
-            jnp.dot(wdy, uCD, precision=HI)
-            + jnp.dot(ldy, uMed, precision=HI)
-        )  # (chunk, 4): cpy(3) + rp1(1)
-        dnrm = jnp.dot(w, uN, precision=HI)  # (chunk, 3)
+        if mode == "full":
+            dvp_t = (
+                jnp.dot(w, uCD, precision=HI)
+                + jnp.dot(lastm, uMed, precision=HI)
+            )  # (chunk, 4): vp(3) + t(1)
+            dcpx_rp0 = (
+                jnp.dot(wdx, uCD, precision=HI)
+                + jnp.dot(ldx, uMed, precision=HI)
+            )  # (chunk, 4): cpx(3) + rp0(1)
+            dcpy_rp1 = (
+                jnp.dot(wdy, uCD, precision=HI)
+                + jnp.dot(ldy, uMed, precision=HI)
+            )  # (chunk, 4): cpy(3) + rp1(1)
+            dnrm = jnp.dot(w, uN, precision=HI)  # (chunk, 3)
+        else:
+            dvp_t = jnp.zeros((chunk, 4), jnp.float32)
+            dcpx_rp0 = jnp.zeros((chunk, 4), jnp.float32)
+            dcpy_rp1 = jnp.zeros((chunk, 4), jnp.float32)
+            dnrm = jnp.zeros((chunk, 3), jnp.float32)
 
         block = jnp.concatenate(
             [
@@ -420,9 +435,10 @@ def _pick_tpb(num_tiles: int, max_per_tile: int, max_tpb: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
 )
-def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret):
+def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret,
+              mode="full"):
     """(T, maxpt, 32) gathered feats → (T, P, 24) raw accumulators."""
     num_tiles = grid_x * grid_y
     max_per_tile = gathered.shape[1]
@@ -436,7 +452,8 @@ def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret):
         out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, tiles_per_block=tpb),
+        functools.partial(_fwd_kernel, chunk=chunk, tiles_per_block=tpb,
+                          mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, P, 24), jnp.float32),
         interpret=interpret,
@@ -444,13 +461,13 @@ def blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk, interpret):
 
 
 def _blend_raw_fwd(gathered, counts, scalars, grid_x, grid_y, chunk,
-                   interpret):
+                   interpret, mode="full"):
     out = blend_raw(gathered, counts, scalars, grid_x, grid_y, chunk,
-                    interpret)
+                    interpret, mode)
     return out, (gathered, counts, scalars, out)
 
 
-def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, res, cot):
+def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, mode, res, cot):
     import numpy as _np
 
     gathered, counts, scalars, fwd_out = res
@@ -469,7 +486,8 @@ def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, res, cot):
             (tpb, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
     )
     dgathered = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, tiles_per_block=tpb),
+        functools.partial(_bwd_kernel, chunk=chunk, tiles_per_block=tpb,
+                          mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (num_tiles, max_per_tile, 32), jnp.float32),
@@ -496,6 +514,7 @@ def render_tiles_pallas(
     bg: jnp.ndarray,
     chunk: int = 256,
     interpret: bool = False,
+    mode: str = "full",
 ):
     """Differentiable Pallas render → RenderOutputs (max_contrib from the
     median contributor position)."""
@@ -511,7 +530,7 @@ def render_tiles_pallas(
     )
     raw = blend_raw(
         gathered, counts.astype(jnp.int32), scalars,
-        grid_x, grid_y, chunk, interpret,
+        grid_x, grid_y, chunk, interpret, mode,
     )  # (T, P, 24)
 
     def untile(x):

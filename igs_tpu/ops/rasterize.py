@@ -45,6 +45,10 @@ class RasterSettings(NamedTuple):
     impl: str = "tiles"  # "tiles" | "pallas" | "reference"
     binning: str = "sort"  # "sort" (merge-searchsorted) | "compact"
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # "full" = all RaDe-GS outputs; "color" = color/alpha only (the refine
+    # loss touches only color — skips median/coord/normal work in the
+    # Pallas kernels; those outputs come back as zeros)
+    outputs: str = "full"
     clamp_grads: bool = False
     clamp_value: float = 15.0
 
@@ -107,6 +111,7 @@ def _rasterize_impl(
                 proj, idx_table, counts, h, w, fx, fy, bg,
                 chunk=settings.chunk,
                 interpret=settings.pallas_interpret,
+                mode=settings.outputs,
             )
         else:
             out = render_tiles(

@@ -77,7 +77,10 @@ class StreamingPipeline:
         # refine renders use the same camera intrinsics family; the
         # reference uses the NON-clamp rasterizer in the refine loop
         # (infer_batch.py:39-124) and the clamp one inside AGM.
-        self.refine_settings = out_settings._replace(clamp_grads=False)
+        self.refine_settings = out_settings._replace(
+            clamp_grads=False,
+            outputs="color" if out_settings.impl == "pallas" else "full",
+        )
         self.agm_settings = out_settings._replace(clamp_grads=True)
         if cfg.depth_view_res:
             r = min(cfg.depth_view_res, out_settings.image_height,

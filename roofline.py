@@ -118,7 +118,8 @@ def main():
         np.arange(args.refine_iters) % nviews, jnp.int32)
     rloop = jax.jit(lambda s: refine_run(
         s, cams, gts, order, jnp.zeros(3), rcfg,
-        settings._replace(clamp_grads=False), jnp.float32(3.0),
+        settings._replace(clamp_grads=False, outputs="color"),
+        jnp.float32(3.0),
         args.refine_iters))
     results["refine_loop_s"] = timeit(rloop, state, iters=3)
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
