@@ -173,13 +173,14 @@ def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
 
         acc_cw = acc_cw + jnp.dot(wt, f_cw, precision=HI)
         slotf = slot.astype(jnp.float32)
-        if mode == "full":
+        if mode != "color":
             acc_cd = (
                 acc_cd
                 + jnp.dot(wt, f_cd_w, precision=HI)
                 + jnp.dot(wdx.T, f_cd_x, precision=HI)
                 + jnp.dot(wdy.T, f_cd_y, precision=HI)
             )
+        if mode == "full":
             acc_n = acc_n + jnp.dot(wt, f_n, precision=HI)
 
             med = (accept & (t_before > 0.5)).astype(jnp.float32)
@@ -304,18 +305,18 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
                 a, b, (((1,), (1,)), ((), ())), precision=HI)
 
         uCW = jnp.concatenate([uC, uW], axis=1)
-        if mode == "full":
-            uN4 = jnp.concatenate(
-                [uN, jnp.zeros((P, 1), jnp.float32)], axis=1)
+        g = dotT(f_cw, uCW)  # (chunk, P)
+        if mode != "color":
             g = (
-                dotT(f_cw, uCW)
+                g
                 + dotT(f_cd_w, uCD)
                 + dx * dotT(f_cd_x, uCD)
                 + dy * dotT(f_cd_y, uCD)
-                + dotT(f_n, uN4)
-            )  # (chunk, P)
-        else:
-            g = dotT(f_cw, uCW)
+            )
+        if mode == "full":
+            uN4 = jnp.concatenate(
+                [uN, jnp.zeros((P, 1), jnp.float32)], axis=1)
+            g = g + dotT(f_n, uN4)
         wg = w * g
         s_cur = s_carry + jnp.dot(triu_excl, wg, precision=HI)  # Σ_{j>i}
 
@@ -329,25 +330,19 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
         dop_px = da * expp * notclip  # (chunk, P), sum later
 
         # median one-hot (slot of the median contributor)
+        ddx = dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
+        ddy = dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
+        if mode != "color":
+            ddx = ddx + w * dotT(f_cd_x, uCD)
+            ddy = ddy + w * dotT(f_cd_y, uCD)
         if mode == "full":
             lastm = (
                 (slotf == medpos) & (medpos >= 0.0)
             ).astype(jnp.float32)  # (chunk, P)
             ldx = lastm * dx
             ldy = lastm * dy
-            ddx = (
-                dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
-                + w * dotT(f_cd_x, uCD)
-                + lastm * dotT(f_cd_x, uMed)
-            )
-            ddy = (
-                dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
-                + w * dotT(f_cd_y, uCD)
-                + lastm * dotT(f_cd_y, uMed)
-            )
-        else:
-            ddx = dpower * (-(f[:, 2:3] * dx + f[:, 3:4] * dy))
-            ddy = dpower * (-(f[:, 4:5] * dy + f[:, 3:4] * dx))
+            ddx = ddx + lastm * dotT(f_cd_x, uMed)
+            ddy = ddy + lastm * dotT(f_cd_y, uMed)
 
         wdx = w * dx
         wdy = w * dy
@@ -369,24 +364,20 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
         )  # (chunk, 3)
         dop = jnp.sum(dop_px, axis=1, keepdims=True)  # (chunk, 1)
         dcolor = jnp.dot(w, uC, precision=HI)  # (chunk, 3)
-        if mode == "full":
-            dvp_t = (
-                jnp.dot(w, uCD, precision=HI)
-                + jnp.dot(lastm, uMed, precision=HI)
-            )  # (chunk, 4): vp(3) + t(1)
-            dcpx_rp0 = (
-                jnp.dot(wdx, uCD, precision=HI)
-                + jnp.dot(ldx, uMed, precision=HI)
-            )  # (chunk, 4): cpx(3) + rp0(1)
-            dcpy_rp1 = (
-                jnp.dot(wdy, uCD, precision=HI)
-                + jnp.dot(ldy, uMed, precision=HI)
-            )  # (chunk, 4): cpy(3) + rp1(1)
-            dnrm = jnp.dot(w, uN, precision=HI)  # (chunk, 3)
+        if mode != "color":
+            dvp_t = jnp.dot(w, uCD, precision=HI)  # (chunk,4): vp3 + t1
+            dcpx_rp0 = jnp.dot(wdx, uCD, precision=HI)
+            dcpy_rp1 = jnp.dot(wdy, uCD, precision=HI)
         else:
             dvp_t = jnp.zeros((chunk, 4), jnp.float32)
             dcpx_rp0 = jnp.zeros((chunk, 4), jnp.float32)
             dcpy_rp1 = jnp.zeros((chunk, 4), jnp.float32)
+        if mode == "full":
+            dvp_t = dvp_t + jnp.dot(lastm, uMed, precision=HI)
+            dcpx_rp0 = dcpx_rp0 + jnp.dot(ldx, uMed, precision=HI)
+            dcpy_rp1 = dcpy_rp1 + jnp.dot(ldy, uMed, precision=HI)
+            dnrm = jnp.dot(w, uN, precision=HI)  # (chunk, 3)
+        else:
             dnrm = jnp.zeros((chunk, 3), jnp.float32)
 
         block = jnp.concatenate(

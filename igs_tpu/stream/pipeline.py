@@ -81,7 +81,12 @@ class StreamingPipeline:
             clamp_grads=False,
             outputs="color" if out_settings.impl == "pallas" else "full",
         )
-        self.agm_settings = out_settings._replace(clamp_grads=True)
+        # AGM eval renders feed only PSNR (color); clamp applies to grads
+        # but streaming inference never differentiates through AGM renders
+        self.agm_settings = out_settings._replace(
+            clamp_grads=True,
+            outputs="color" if out_settings.impl == "pallas" else "full",
+        )
         if cfg.depth_view_res:
             r = min(cfg.depth_view_res, out_settings.image_height,
                     out_settings.image_width)
@@ -89,6 +94,8 @@ class StreamingPipeline:
                 image_height=r, image_width=r,
                 max_pairs=min(self.agm_settings.max_pairs, 1 << 18),
                 max_per_tile=min(self.agm_settings.max_per_tile, 512),
+                outputs=("color_depth" if self.agm_settings.impl == "pallas"
+                         else "full"),
             )
         else:
             self.depth_settings = None

@@ -148,10 +148,10 @@ def main():
             np.concatenate([c2w[:, :1], c2w], axis=1)),
         "background_color": jnp.zeros((b, 3)),
     }
-    agm_settings = settings._replace(clamp_grads=True)
+    agm_settings = settings._replace(clamp_grads=True, outputs="color")
     depth_settings = agm_settings._replace(
         image_height=256, image_width=256,
-        max_pairs=1 << 18, max_per_tile=512)
+        max_pairs=1 << 18, max_per_tile=512, outputs="color_depth")
     params = jax.jit(
         lambda r: model.init(r, batch, astate, gb, agm_settings,
                              depth_settings=depth_settings)

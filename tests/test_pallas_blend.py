@@ -99,3 +99,33 @@ def test_pallas_full_gradient_parity_all_outputs():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-3,
             err_msg=f"grad {name}")
+
+
+def test_color_and_depth_modes():
+    cam = make_camera()
+    g = random_gaussians(n=256, seed=7)
+    full = rasterize(**_args(g, cam), settings=PALLAS)
+    col = rasterize(**_args(g, cam),
+                    settings=PALLAS._replace(outputs="color"))
+    cd = rasterize(**_args(g, cam),
+                   settings=PALLAS._replace(outputs="color_depth"))
+    np.testing.assert_allclose(np.asarray(col["color"]),
+                               np.asarray(full["color"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cd["color"]),
+                               np.asarray(full["color"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cd["depth"]),
+                               np.asarray(full["depth"]), atol=1e-5)
+    assert np.asarray(col["depth"]).max() == 0  # not computed
+
+    # color-mode gradients equal full-mode gradients for a color loss
+    def loss(xyz, settings):
+        return jnp.mean(rasterize(
+            means3d=xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+            rotation=g.get_rotation, camera=cam, shs=g.shs,
+            settings=settings)["color"] ** 2)
+
+    g_full = jax.grad(lambda x: loss(x, PALLAS))(g.xyz)
+    g_col = jax.grad(
+        lambda x: loss(x, PALLAS._replace(outputs="color")))(g.xyz)
+    np.testing.assert_allclose(np.asarray(g_col), np.asarray(g_full),
+                               atol=1e-6)
