@@ -19,13 +19,14 @@ from igs_tpu.stream.refine import RefineConfig
 from igs_tpu.train.driver import OptConfig
 
 
-def build_model(system: Dict[str, Any]) -> AGMNet:
+def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
     """system section (configs/train.yaml) → AGMNet."""
     backbone = system.get("backbone", {})
     transformer = system.get("transformer", {})
     enc = system.get("triplane_encoder", {})
     enc_unet = enc.get("unet", {})
     return AGMNet(
+        encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16)),
         feature_channels=backbone.get("feature_channels", 128),
         backbone_layers=backbone.get("transformer", {}).get("num_layers", 6),
         motion_layers=transformer.get("num_layers", 1),

@@ -46,6 +46,9 @@ class AGMNet(nn.Module):
     encoder_head_dim: int = 64
     encoder_layers: int = 4
     attn_splits: int = 2
+    # bf16 compute for the anchor transformer (reference trains fp16;
+    # params stay f32)
+    encoder_bf16: bool = False
 
     def setup(self):
         self.backbone = UniMatch(
@@ -73,6 +76,7 @@ class AGMNet(nn.Module):
             num_attention_heads=self.encoder_heads,
             attention_head_dim=self.encoder_head_dim,
             num_layers=self.encoder_layers,
+            dtype=jnp.bfloat16 if self.encoder_bf16 else jnp.float32,
             name="triplane_encoder",
         )
         self.decoder = ResidualDecoder(

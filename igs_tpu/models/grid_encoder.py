@@ -23,6 +23,7 @@ class GridEncoder(nn.Module):
     num_attention_heads: int = 8
     attention_head_dim: int = 64
     num_layers: int = 4
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -61,6 +62,7 @@ class GridEncoder(nn.Module):
             num_attention_heads=self.num_attention_heads,
             attention_head_dim=self.attention_head_dim,
             num_layers=self.num_layers,
+            dtype=self.dtype,
             name="conv",
         )(proj.transpose(0, 2, 1))
         return out.transpose(0, 2, 1)  # (B, A, C)

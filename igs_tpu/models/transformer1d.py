@@ -22,19 +22,25 @@ class Attention(nn.Module):
     full matrix is ~10 GB and does not fit HBM (the torch reference
     materializes it; enable_memory_efficient_attention is off in its
     configs). Exact, not an approximation.
+
+    ``dtype``: compute dtype for the projections/matmuls (params stay
+    f32; softmax runs in f32). bf16 ≈ 4× on the MXU — the reference
+    trains in fp16 mixed precision (configs/train.yaml mixed_precision).
     """
 
     heads: int = 8
     head_dim: int = 64
     q_chunk: int = 1024
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, L, D)
         b, L, _ = x.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(x)
+        x = x.astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
 
         def split(t):
             return t.reshape(b, L, self.heads, self.head_dim).transpose(
@@ -44,8 +50,10 @@ class Attention(nn.Module):
         scale = self.head_dim ** -0.5
 
         if L <= self.q_chunk:
-            scores = jnp.einsum("bhlc,bhmc->bhlm", q, k) * scale
-            attn = jax.nn.softmax(scores, axis=-1)
+            scores = jnp.einsum(
+                "bhlc,bhmc->bhlm", q, k,
+                preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhlm,bhmc->bhlc", attn, v)
         else:
             nc = -(-L // self.q_chunk)
@@ -55,42 +63,52 @@ class Attention(nn.Module):
             qc = qc.transpose(2, 0, 1, 3, 4)  # (nc, B, H, qc, C)
 
             def block(qb):  # (B, H, qc, C)
-                s = jnp.einsum("bhlc,bhmc->bhlm", qb, k) * scale
-                return jnp.einsum(
-                    "bhlm,bhmc->bhlc", jax.nn.softmax(s, axis=-1), v)
+                s = jnp.einsum(
+                    "bhlc,bhmc->bhlm", qb, k,
+                    preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+                return jnp.einsum("bhlm,bhmc->bhlc", a, v)
 
             out = jax.lax.map(block, qc)  # (nc, B, H, qc, C)
             out = out.transpose(1, 2, 0, 3, 4).reshape(
                 b, self.heads, nc * self.q_chunk, self.head_dim)[:, :, :L]
         out = out.transpose(0, 2, 1, 3).reshape(b, L, inner)
-        return nn.Dense(x.shape[-1], name="to_out")(out)
+        return nn.Dense(
+            x.shape[-1], dtype=self.dtype, name="to_out"
+        )(out).astype(jnp.float32)
 
 
 class GEGLUFeedForward(nn.Module):
     """FeedForward with GEGLU (transformers.py:400-525), mult=4."""
 
     mult: int = 4
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, name="proj")(x)
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(
+            x.astype(self.dtype))
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, name="out")(h)
+        return nn.Dense(
+            dim, dtype=self.dtype, name="out")(h).astype(jnp.float32)
 
 
 class BasicTransformerBlock(nn.Module):
     heads: int = 8
     head_dim: int = 64
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.heads, self.head_dim, name="attn1")(
+        x = x + Attention(
+            self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
             nn.LayerNorm(name="norm1")(x)
         )
-        x = x + GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(name="norm3")(x))
         return x
 
 
@@ -102,6 +120,7 @@ class Transformer1D(nn.Module):
     attention_head_dim: int = 64
     num_layers: int = 4
     norm_num_groups: int = 32
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, C, L)
@@ -115,7 +134,7 @@ class Transformer1D(nn.Module):
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
                 self.num_attention_heads, self.attention_head_dim,
-                name=f"block{i}",
+                dtype=self.dtype, name=f"block{i}",
             )(h)
         h = nn.Dense(self.in_channels, name="proj_out")(h)
         return h.transpose(0, 2, 1) + residual

@@ -125,7 +125,7 @@ def main():
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
-    model = AGMNet()  # 128ch, 6-layer backbone, 4-layer encoder
+    model = AGMNet(encoder_bf16=True)  # production streaming config
     state1 = sel(g.xyz, g.valid)
     astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
     gb = jax.tree.map(lambda x: jnp.stack([x] * b), g)
