@@ -47,8 +47,7 @@ def main():
     cfg.data["data"]["up_sample"] = cfg.system.get("up_sample", True)
 
     ds = build_dataset(cfg.data, training=False)
-    # bf16 anchor-transformer compute for streaming inference
-    model = build_model(cfg.system, encoder_bf16=True)
+    model = build_model(cfg.system)
     stream_cfg, refine_cfg = build_stream_configs(cfg.opt)
     out_h = int(cfg.data["data"].get("output_height", 1014))
     out_w = int(cfg.data["data"].get("output_width", 1352))

@@ -125,7 +125,8 @@ def main():
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
-    model = AGMNet(encoder_bf16=True)  # production streaming config
+    model = AGMNet()  # production streaming config (f32; bf16
+    # encoder measured SLOWER on v5e — cast overhead breaks fusion)
     state1 = sel(g.xyz, g.valid)
     astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
     gb = jax.tree.map(lambda x: jnp.stack([x] * b), g)
