@@ -36,6 +36,7 @@ def select_anchors(
     anchor_size: int = 8192,
     k: int = 8,
     temperature: float = 10.0,
+    exact_knn: bool = True,
 ) -> AnchorState:
     """Full anchor precompute for one scene/frame."""
     n = xyz.shape[0]
@@ -49,7 +50,8 @@ def select_anchors(
     # anchor_size; anchor validity follows the sampled point's mask bit.
     anchor_valid = mask[idx]
 
-    dist, nbr = knn(anchors, xyz, k, points_valid=anchor_valid)
+    dist, nbr = knn(anchors, xyz, k, points_valid=anchor_valid,
+                    exact=exact_knn)
     weights = jax.nn.softmax(-temperature * dist, axis=-1)
     return AnchorState(
         anchor_points=anchors,

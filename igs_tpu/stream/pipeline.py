@@ -111,6 +111,10 @@ class StreamingPipeline:
                 select_anchors,
                 anchor_size=cfg.anchor_size,
                 k=cfg.neighbor_k,
+                # streaming precompute uses the TPU-native approximate
+                # top-k (recall≈0.99); the FPS stage is approximate in the
+                # reference too
+                exact_knn=False,
             )
         )
         self._refine_step = jax.jit(

@@ -82,7 +82,8 @@ def main():
 
     # 1. anchors
     sel = jax.jit(lambda x, v: select_anchors(x, bbox, valid=v,
-                                              anchor_size=a, k=8))
+                                              anchor_size=a, k=8,
+                                              exact_knn=False))
     results["anchors_s"] = timeit(sel, g.xyz, g.valid)
 
     # 2. rasterize fwd / fwd+bwd
