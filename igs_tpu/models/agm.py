@@ -115,8 +115,12 @@ class AGMNet(nn.Module):
         bv, c, h, w = motion_feature.shape
         b, v = depth.shape[:2]
         ray = jnp.repeat(local_rays, v, axis=0)  # (B·V, h, w, 3)
+        # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+        # semantics (IGS.py:201) — jax's default antialiasing diverges on
+        # downsample (caught by test_upsample_resize_parity).
         d = jax.image.resize(
-            depth.reshape(bv, *depth.shape[2:]), (bv, h, w), method="bilinear"
+            depth.reshape(bv, *depth.shape[2:]), (bv, h, w),
+            method="bilinear", antialias=False,
         )
         cond = jnp.concatenate([ray, d[..., None]], axis=-1)
         x = motion_feature.transpose(0, 2, 3, 1)  # B H W C
@@ -204,6 +208,9 @@ class AGMNet(nn.Module):
                     "depth_pred_eval": out0["depth_pred"],
                     "depth_pred": outd["depth_pred"],
                     "3dgs": gdef,
+                    "overflow_tiles": jnp.maximum(
+                        jnp.max(out0["overflow_tiles"]),
+                        jnp.max(outd["overflow_tiles"])),
                 }
 
             out = jax.vmap(render_split)(

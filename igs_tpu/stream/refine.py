@@ -91,6 +91,9 @@ class RefineState:
     xyz_grad_accum: jnp.ndarray  # (N,) f32
     denom: jnp.ndarray  # (N,) f32
     rng: jnp.ndarray  # PRNG key for split sampling
+    # max tile-budget truncation seen across the loop (0 = budgets OK)
+    overflow: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def init_refine_state(
@@ -108,6 +111,7 @@ def init_refine_state(
         xyz_grad_accum=jnp.zeros(capacity, jnp.float32),
         denom=jnp.zeros(capacity, jnp.float32),
         rng=jax.random.PRNGKey(seed),
+        overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -136,12 +140,12 @@ def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings):
             1.0 - s
         )
         mse = jnp.mean((img - gt_image) ** 2)
-        return loss, (out["radii"], mse)
+        return loss, (out["radii"], mse, out["overflow_tiles"])
 
-    (loss, (radii, mse)), (grads, g_m2o) = jax.value_and_grad(
+    (loss, (radii, mse, overflow)), (grads, g_m2o) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(params, m2o)
-    return loss, grads, g_m2o, radii, mse
+    return loss, grads, g_m2o, radii, mse, overflow
 
 
 def refine_step(
@@ -155,7 +159,7 @@ def refine_step(
 ):
     """One optimization iteration (infer_batch.py:279-324, minus densify)."""
     g = state.gaussians
-    loss, grads, g_m2o, radii, mse = _loss_and_grads(
+    loss, grads, g_m2o, radii, mse, overflow = _loss_and_grads(
         g, camera, gt_image, bg, cfg, settings
     )
 
@@ -206,6 +210,7 @@ def refine_step(
         max_radii2d=max_radii,
         xyz_grad_accum=accum,
         denom=denom,
+        overflow=jnp.maximum(state.overflow, overflow),
     )
     return new_state, {"loss": loss, "psnr": -10 * jnp.log10(mse)}
 

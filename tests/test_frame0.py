@@ -16,6 +16,8 @@ from tests.conftest import make_camera, random_gaussians
 SET = RasterSettings(
     image_height=32, image_width=32, impl="tiles",
     max_pairs=1 << 14, max_per_tile=256, chunk=64,
+    # count_gaussians now always runs the Pallas tile pipeline
+    pallas_interpret=True,
 )
 
 
