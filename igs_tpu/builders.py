@@ -64,13 +64,26 @@ def build_raster_settings(
 
 
 def build_opt_config(opt: Dict[str, Any]) -> OptConfig:
+    """opt section → OptConfig.
+
+    The reference hardcodes AdamW(wd=0.05, betas=(0.9, 0.95)) and OneCycle
+    warmup 3000 (main.py:185-194); YAML keys override when present.
+    ``mixed_precision`` mirrors configs/train.yaml:32 (fp16 via accelerate)
+    — on TPU the bf16 flavor applies to the network compute dtype, with
+    the rasterizer pinned f32 like the reference's custom_fwd cast.
+    """
     return OptConfig(
         lr=float(opt.get("lr", 4e-4)),
+        weight_decay=float(opt.get("weight_decay", 0.05)),
+        beta1=float(opt.get("beta1", 0.9)),
+        beta2=float(opt.get("beta2", 0.95)),
         num_epochs=int(opt.get("num_epochs", 30)),
+        warmup_steps=int(opt.get("warmup_steps", 3000)),
         gradient_clip=float(opt.get("gradient_clip", 1.0)),
         lambda_rgb=float(opt.get("lambda_rgb", 1.0)),
         lambda_ssim=float(opt.get("lambda_ssim", 0.2)),
         lambda_lpips=float(opt.get("lambda_lpips", 0.0)),
+        mixed_precision=str(opt.get("mixed_precision", "no")),
     )
 
 

@@ -135,3 +135,69 @@ def compute_aabb(
     hi = np.percentile(points, high_pct, axis=0)
     pad = (hi - lo) * padding
     return np.stack([lo - pad, hi + pad]).tolist()
+
+
+class TransformsCamera(NamedTuple):
+    """One camera from a NeRF-synthetic transforms_*.json."""
+
+    r: np.ndarray  # (3,3) c2w rotation, stored transposed like colmap R
+    t: np.ndarray  # (3,) w2c translation
+    fovx: float
+    fovy: float
+    image_path: str
+    image_name: str
+    width: int
+    height: int
+
+
+def read_transforms_cameras(
+    path: str, transforms_file: str, extension: str = ".png"
+):
+    """Blender/NeRF-synthetic scene reader (metadata only).
+
+    Parity: readCamerasFromTransforms
+    (submodules/RaDe-GS/scene/dataset_readers.py:249-289): OpenGL camera
+    axes (Y up, Z back) flipped to COLMAP (Y down, Z forward), R stored
+    transposed, fovy derived from fovx via the image aspect.
+    """
+    import json
+
+    with open(os.path.join(path, transforms_file)) as f:
+        contents = json.load(f)
+    fovx = float(contents["camera_angle_x"])
+    cams = []
+    for idx, frame in enumerate(contents["frames"]):
+        name = frame["file_path"] + extension
+        c2w = np.array(frame["transform_matrix"], np.float64)
+        c2w[:3, 1:3] *= -1  # OpenGL → COLMAP axes
+        w2c = np.linalg.inv(c2w)
+        r = np.transpose(w2c[:3, :3])
+        t = w2c[:3, 3]
+        image_path = os.path.join(path, name)
+        w, h = _image_size(image_path)
+        focal = w / (2.0 * np.tan(fovx / 2.0))
+        fovy = 2.0 * np.arctan(h / (2.0 * focal))
+        cams.append(TransformsCamera(
+            r=r.astype(np.float32), t=t.astype(np.float32),
+            fovx=fovx, fovy=float(fovy), image_path=image_path,
+            image_name=os.path.splitext(os.path.basename(name))[0],
+            width=w, height=h))
+    return cams
+
+
+def load_transforms_image(cam: TransformsCamera, white_background: bool):
+    """RGBA → RGB composite over the scene background
+    (dataset_readers.py:276-280). Returns float32 (H, W, 3) in [0, 1]."""
+    from PIL import Image
+
+    im = np.asarray(
+        Image.open(cam.image_path).convert("RGBA"), np.float32) / 255.0
+    bg = np.ones(3, np.float32) if white_background else np.zeros(3, np.float32)
+    return im[..., :3] * im[..., 3:4] + bg * (1.0 - im[..., 3:4])
+
+
+def _image_size(path: str):
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return im.size  # (w, h)

@@ -76,7 +76,7 @@ class AGMNet(nn.Module):
             num_attention_heads=self.encoder_heads,
             attention_head_dim=self.encoder_head_dim,
             num_layers=self.encoder_layers,
-            dtype=jnp.bfloat16 if self.encoder_bf16 else jnp.float32,
+            dtype=jnp.bfloat16 if self.encoder_bf16 else None,
             name="triplane_encoder",
         )
         self.decoder = ResidualDecoder(
@@ -122,7 +122,10 @@ class AGMNet(nn.Module):
             depth.reshape(bv, *depth.shape[2:]), (bv, h, w),
             method="bilinear", antialias=False,
         )
-        cond = jnp.concatenate([ray, d[..., None]], axis=-1)
+        # condition follows the network compute dtype (depth arrives f32;
+        # an f32 leaf would re-promote everything downstream under bf16)
+        cond = jnp.concatenate([ray, d[..., None]], axis=-1).astype(
+            motion_feature.dtype)
         x = motion_feature.transpose(0, 2, 3, 1)  # B H W C
         x = self.modln(x, cond)
         return x.transpose(0, 3, 1, 2)
@@ -158,6 +161,10 @@ class AGMNet(nn.Module):
         # per-gaussian features then residual decode (interpolate_first=True)
         feats = jax.vmap(interpolate_residuals)(triplane, anchor_state)
         residuals = self.decoder(feats)  # dict of (B, N, ·)
+        # rasterization is pinned f32 regardless of network compute dtype
+        # (reference: custom_fwd(cast_inputs=float32), igs/utils/ops.py:49-59)
+        residuals = jax.tree.map(
+            lambda x: x.astype(jnp.float32), residuals)
 
         fovx = batch["FOV"][:, 0]
         fovy = batch["FOV"][:, 1]

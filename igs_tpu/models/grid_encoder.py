@@ -23,7 +23,7 @@ class GridEncoder(nn.Module):
     num_attention_heads: int = 8
     attention_head_dim: int = 64
     num_layers: int = 4
-    dtype: object = jnp.float32
+    dtype: object = None
 
     @nn.compact
     def __call__(

@@ -107,6 +107,51 @@ def render_views(
     return jax.lax.map(one, cameras)
 
 
+def render_flow(
+    original_gs: Gaussians,
+    deformed_gs: Gaussians,
+    camera: Camera,  # built at (flow_height, flow_width)
+    bg: jnp.ndarray,
+    settings: RasterSettings,
+) -> Dict[str, jnp.ndarray]:
+    """Predicted 2D flow rendered as colors (gs.py:659-713).
+
+    The PRE-deform Gaussians of the dynamic region are splatted with
+    per-Gaussian color = the camera-frame xy of the predicted xyz residual
+    scaled to pixels. Reference quirks preserved exactly:
+      * the pixel scaling divides by the WORLD z of the original means
+        (gs.py:700-703 ``means3D[:,2]``), not the camera-space depth;
+      * only masked (in-bbox) Gaussians are rendered (gs.py:688-692);
+      * third color channel is zero; flow_mask is the rendered alpha.
+    """
+    wvt = camera.world_view_transform  # stored transposed (row-vector)
+    flow_cam = deformed_gs.resi_xyz @ wvt[:3, :3]
+    z = original_gs.xyz[:, 2] + 1e-6
+    flow2d = jnp.stack(
+        [
+            flow_cam[:, 0] * camera.focal_x / z,
+            flow_cam[:, 1] * camera.focal_y / z,
+            jnp.zeros_like(z),
+        ],
+        axis=1,
+    )
+    valid = original_gs.valid
+    if deformed_gs.mask is not None:
+        valid = valid & deformed_gs.mask
+    out = rasterize(
+        means3d=original_gs.get_xyz,
+        opacity=original_gs.get_opacity,
+        scaling=original_gs.get_scaling,
+        rotation=original_gs.get_rotation,
+        camera=camera,
+        colors_precomp=flow2d,
+        bg=bg,
+        valid=valid,
+        settings=settings,
+    )
+    return {"flow_pred": out["color"][:2], "flow_mask": out["alpha"]}
+
+
 def deform_and_render(
     gaussians: Gaussians,
     residuals: Dict[str, jnp.ndarray],  # dense (N, ·)

@@ -104,8 +104,10 @@ def window_attention(q, k, v, num_splits: int, h: int, w: int,
         mask = jnp.asarray(
             shift_window_attn_mask(h, w, wh, ww, sh, sw)
         )  # (K², L, L)
-        scores = scores + jnp.tile(mask, (b, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1)
+        scores = scores + jnp.tile(mask, (b, 1, 1)).astype(scores.dtype)
+    # softmax in f32, matmuls in the compute dtype (bf16-safe)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+        vs.dtype)
     out = jnp.einsum("blm,bmc->blc", attn, vs)
     out = merge_splits(out.reshape(-1, wh, ww, c), num_splits)
     if with_shift:
@@ -115,7 +117,8 @@ def window_attention(q, k, v, num_splits: int, h: int, w: int,
 
 def full_attention(q, k, v) -> jnp.ndarray:
     scores = jnp.einsum("blc,bmc->blm", q, k) / (q.shape[-1] ** 0.5)
-    return jnp.einsum("blm,bmc->blc", jax.nn.softmax(scores, -1), v)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(v.dtype)
+    return jnp.einsum("blm,bmc->blc", attn, v)
 
 
 class TransformerLayer(nn.Module):
@@ -241,9 +244,10 @@ def feature_add_position(feature0, feature1, attn_splits: int, channels: int):
 
         def add(f):
             fs = split_feature(f.transpose(0, 2, 3, 1), attn_splits)
-            fs = fs + pos.transpose(0, 2, 3, 1)
+            fs = fs + pos.transpose(0, 2, 3, 1).astype(f.dtype)
             return merge_splits(fs, attn_splits).transpose(0, 3, 1, 2)
 
         return add(feature0), add(feature1)
     pos = jnp.asarray(position_embedding_sine(h, w, channels // 2))[None]
-    return feature0 + pos, feature1 + pos
+    return (feature0 + pos.astype(feature0.dtype),
+            feature1 + pos.astype(feature1.dtype))

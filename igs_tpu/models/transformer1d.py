@@ -31,13 +31,17 @@ class Attention(nn.Module):
     heads: int = 8
     head_dim: int = 64
     q_chunk: int = 1024
-    dtype: object = jnp.float32
+    # None = follow the input dtype (mixed-precision step casts params +
+    # inputs); an explicit dtype forces the compute type (encoder_bf16)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):  # (B, L, D)
         b, L, _ = x.shape
         inner = self.heads * self.head_dim
-        x = x.astype(self.dtype)
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
@@ -53,7 +57,7 @@ class Attention(nn.Module):
             scores = jnp.einsum(
                 "bhlc,bhmc->bhlm", q, k,
                 preferred_element_type=jnp.float32) * scale
-            attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhlm,bhmc->bhlc", attn, v)
         else:
             nc = -(-L // self.q_chunk)
@@ -66,7 +70,7 @@ class Attention(nn.Module):
                 s = jnp.einsum(
                     "bhlc,bhmc->bhlm", qb, k,
                     preferred_element_type=jnp.float32) * scale
-                a = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+                a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
                 return jnp.einsum("bhlm,bhmc->bhlc", a, v)
 
             out = jax.lax.map(block, qc)  # (nc, B, H, qc, C)
@@ -75,31 +79,33 @@ class Attention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, L, inner)
         return nn.Dense(
             x.shape[-1], dtype=self.dtype, name="to_out"
-        )(out).astype(jnp.float32)
+        )(out).astype(in_dtype)
 
 
 class GEGLUFeedForward(nn.Module):
     """FeedForward with GEGLU (transformers.py:400-525), mult=4."""
 
     mult: int = 4
-    dtype: object = jnp.float32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(
-            x.astype(self.dtype))
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(
-            dim, dtype=self.dtype, name="out")(h).astype(jnp.float32)
+            dim, dtype=self.dtype, name="out")(h).astype(in_dtype)
 
 
 class BasicTransformerBlock(nn.Module):
     heads: int = 8
     head_dim: int = 64
-    dtype: object = jnp.float32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +126,7 @@ class Transformer1D(nn.Module):
     attention_head_dim: int = 64
     num_layers: int = 4
     norm_num_groups: int = 32
-    dtype: object = jnp.float32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):  # (B, C, L)

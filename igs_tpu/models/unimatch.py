@@ -24,9 +24,12 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def normalize_img(img0, img1):
-    """Parity: utils.py:23-31 — inputs in [0, 255]."""
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 3, 1, 1)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 3, 1, 1)
+    """Parity: utils.py:23-31 — inputs in [0, 255].
+
+    Constants follow the input dtype so bf16 mixed-precision inputs stay
+    bf16 (an f32 constant would silently re-promote the whole network)."""
+    mean = jnp.asarray(IMAGENET_MEAN, img0.dtype).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD, img0.dtype).reshape(1, 3, 1, 1)
     return (img0 / 255.0 - mean) / std, (img1 / 255.0 - mean) / std
 
 

@@ -29,7 +29,8 @@ def grid_sample_points(
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         vals = features[:, yi_c, xi_c]  # (C, N)
-        return vals * (weight * inside)[None, :]
+        # weights follow the feature dtype (bf16-safe; f32 would promote)
+        return vals * (weight * inside)[None, :].astype(vals.dtype)
 
     out = (
         tap(x0, y0, (1 - wx) * (1 - wy))

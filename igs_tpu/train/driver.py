@@ -41,6 +41,11 @@ class OptConfig:
     lambda_rgb: float = 1.0
     lambda_ssim: float = 0.2
     lambda_lpips: float = 0.0
+    # "no" | "fp16" | "bf16": network activations in half precision with
+    # the rasterizer pinned f32 (reference: configs/train.yaml:32 +
+    # custom_fwd(cast_inputs=float32), igs/utils/ops.py:49-59). On TPU
+    # fp16 is mapped to bf16 (the MXU's native half type).
+    mixed_precision: str = "no"
 
 
 def onecycle_schedule(max_lr: float, total_steps: int, warmup_steps: int = 3000):
@@ -121,9 +126,25 @@ def make_train_step(
     axis and params are replicated; XLA inserts the gradient all-reduce.
     """
 
+    half = (
+        jnp.bfloat16 if cfg.mixed_precision in ("fp16", "bf16") else None
+    )
+
     def step(params, opt_state, batch, anchor_state, gaussians):
         def loss_fn(p):
-            out = model.apply(p, batch, anchor_state, gaussians, settings)
+            b = batch
+            if half is not None:
+                # bf16 network compute: params + image inputs cast for the
+                # forward (master params stay f32 in the optimizer); the
+                # render path casts back to f32 inside AGMNet. jax.grad
+                # through the cast accumulates gradients in f32.
+                p = jax.tree.map(
+                    lambda x: x.astype(half)
+                    if x.dtype == jnp.float32 else x, p)
+                b = dict(batch)
+                for k in ("cur_images_input", "next_images_input"):
+                    b[k] = batch[k].astype(half)
+            out = model.apply(p, b, anchor_state, gaussians, settings)
             return compute_loss(out, batch["images_output"], cfg)
 
         (loss, metrics), grads = jax.value_and_grad(

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--refine-iters", type=int, default=50)
     ap.add_argument("--impl", default="pallas")
+    ap.add_argument("--depth-res", type=int, default=128)
     ap.add_argument("--out", default="roofline.json")
     args = ap.parse_args()
 
@@ -152,7 +153,7 @@ def main():
     }
     agm_settings = settings._replace(clamp_grads=True, outputs="color")
     depth_settings = agm_settings._replace(
-        image_height=256, image_width=256,
+        image_height=args.depth_res, image_width=args.depth_res,
         max_pairs=1 << 18, max_per_tile=512, outputs="color_depth")
     params = jax.jit(
         lambda r: model.init(r, batch, astate, gb, agm_settings,

@@ -1,5 +1,6 @@
 """End-to-end AGM-Net test: anchors → motion features → residuals → render."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,9 @@ from igs_tpu.models.agm import AGMNet
 from igs_tpu.ops.anchors import select_anchors
 from igs_tpu.ops.rasterize import RasterSettings
 from tests.conftest import random_gaussians
+
+
+pytestmark = pytest.mark.slow
 
 KEY = jax.random.PRNGKey(0)
 

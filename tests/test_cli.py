@@ -14,6 +14,9 @@ import pytest
 from igs_tpu.data.synthetic import build_synthetic_scene
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def scene(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("cli_scene"))

@@ -1,5 +1,6 @@
 """Frame-0 RaDe-GS trainer tests: init, filter, optimization, compression."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,11 +8,14 @@ import jax.numpy as jnp
 from igs_tpu.ops.rasterize import RasterSettings, rasterize
 from igs_tpu.stream.refine import init_refine_state
 from igs_tpu.train.frame0 import (
+
     Frame0Config, compute_3d_filter, create_from_points, depth_to_normal,
     frame0_step, frame0_densify_and_prune, lightgaussian_importance,
     position_lr, prune_by_importance, reset_opacity,
 )
 from tests.conftest import make_camera, random_gaussians
+
+pytestmark = pytest.mark.slow
 
 SET = RasterSettings(
     image_height=32, image_width=32, impl="tiles",

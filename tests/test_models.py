@@ -159,3 +159,39 @@ class TestUniMatch:
         f0, f1 = m.apply(params, img, img)
         assert f0.shape == (1, 32, 4, 4)
         assert f1.shape == (1, 32, 4, 4)
+
+
+def test_render_flow():
+    """render_flow parity semantics (gs.py:659-713): pre-deform Gaussians
+    splatted with camera-frame residual xy scaled by focal/world-z."""
+    import jax.numpy as jnp
+    from igs_tpu.core.camera import Camera
+    from igs_tpu.models.renderer import render_flow
+    from igs_tpu.ops.rasterize import RasterSettings
+    from tests.conftest import random_gaussians
+
+    g = random_gaussians(n=1, seed=0)
+    g = g.replace(
+        xyz=jnp.array([[0.0, 0.0, 2.0]]),  # world z = 2 (the quirk divisor)
+        opacity=jnp.full((1, 1), 12.0),
+        scaling=jnp.full((1, 3), -1.0),
+        rotation=jnp.array([[1.0, 0, 0, 0]]),
+    )
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 2.0  # camera at world z=-2 → gaussian at view z=4
+    cam = Camera.from_w2c(w2c, 0.8, 0.8, height=32, width=32)
+    dxyz = jnp.array([[0.05, -0.02, 0.0]])
+    deformed = g.deform(res_xyz=dxyz, mask=jnp.ones(1, bool))
+    settings = RasterSettings(
+        image_height=32, image_width=32, impl="tiles",
+        max_pairs=1 << 12, max_per_tile=64, chunk=64, clamp_grads=True,
+    )
+    out = render_flow(g, deformed, cam, jnp.zeros(3), settings)
+    assert out["flow_pred"].shape == (2, 32, 32)
+    assert out["flow_mask"].shape == (32, 32)
+    # at the gaussian's center pixel: flow ≈ (fx·dx/z_world, fy·dy/z_world)
+    # (identity w2c rotation → camera frame == world frame)
+    fx = float(cam.focal_x)
+    got = np.asarray(out["flow_pred"][:, 16, 16])
+    want = np.array([fx * 0.05 / 2.0, fx * -0.02 / 2.0])
+    np.testing.assert_allclose(got, want, rtol=0.05)

@@ -8,6 +8,9 @@ import pytest
 from igs_tpu.ops.rasterize import RasterSettings, rasterize
 from tests.conftest import make_camera, random_gaussians
 
+
+pytestmark = pytest.mark.slow
+
 XLA = RasterSettings(
     image_height=64, image_width=64, impl="tiles",
     max_pairs=1 << 16, max_per_tile=512, chunk=64,

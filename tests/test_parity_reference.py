@@ -38,6 +38,9 @@ import jax.numpy as jnp  # noqa: E402
 
 from igs_tpu.models import torch_convert as tc  # noqa: E402
 
+
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 

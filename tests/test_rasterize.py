@@ -123,6 +123,7 @@ class TestForward:
         assert abs(d[32, 32] - 4.0) < 0.05
         assert abs(md[32, 32] - 4.0) < 0.05
 
+    @pytest.mark.slow
     def test_front_occludes_back(self, camera64):
         # red gaussian in front of blue gaussian, both opaque
         xyz = jnp.array([[0.0, 0, -1.0], [0.0, 0, 1.0]])  # z=-1 closer
@@ -156,6 +157,7 @@ class TestForward:
         assert ok.all()
 
 
+@pytest.mark.slow
 class TestTiledParity:
     """Production tiled path ≡ reference renderer."""
 
@@ -195,6 +197,7 @@ class TestTiledParity:
         )
 
 
+@pytest.mark.slow
 class TestGradients:
     def _loss(self, settings):
         cam = make_camera(height=32, width=32)
@@ -305,6 +308,7 @@ SET64_COUNT = RasterSettings(
 )
 
 
+@pytest.mark.slow
 class TestCountMode:
     def test_counts(self, camera64):
         g = random_gaussians(n=128, seed=4)
@@ -347,6 +351,7 @@ class TestCountMode:
                                       np.asarray(count_d))
 
 
+@pytest.mark.slow
 class TestOverflowSurfacing:
     """VERDICT r1 weak-4: static-budget exhaustion must be reported."""
 

@@ -1,15 +1,19 @@
 """Key-frame refine loop tests: optimization progress, densify, prune."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from igs_tpu.ops.rasterize import RasterSettings, rasterize
 from igs_tpu.stream.refine import (
+
     RefineConfig, densify_and_prune, init_refine_state, refine_step,
     convert2stream,
 )
 from tests.conftest import make_camera, random_gaussians
+
+pytestmark = pytest.mark.slow
 
 SET = RasterSettings(
     image_height=32, image_width=32, impl="tiles",

@@ -13,6 +13,9 @@ from igs_tpu.ops.anchors import select_anchors
 from tests.conftest import random_gaussians
 
 
+
+pytestmark = pytest.mark.slow
+
 def test_mesh_axes():
     mesh = make_mesh(data=4, tile=2)
     assert mesh.shape == {"data": 4, "tile": 2}

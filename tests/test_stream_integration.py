@@ -18,6 +18,9 @@ from igs_tpu.stream.pipeline import StreamConfig, StreamingPipeline
 from igs_tpu.stream.refine import RefineConfig
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def scene(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("toy_scene"))

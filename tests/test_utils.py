@@ -133,6 +133,7 @@ class TestConfigExtras:
         assert cfg.opt == {"a": 1, "b": 3}
 
 
+@pytest.mark.slow
 class TestLPIPS:
     def test_structure(self):
         from igs_tpu.train.lpips import make_lpips

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=None,
                     help="static Gaussian capacity (default: round up max N)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint to resume from (.msgpack or torch "
+                         ".bin/.pth; shape-checked partial load)")
     args, extras = ap.parse_known_args()
 
     import jax
@@ -93,22 +96,52 @@ def main():
     params = jax.jit(
         lambda r: model.init(r, *first, settings)
     )(jax.random.PRNGKey(0))
+    import flax
+
+    def merge_shape_checked(params, conv_params, prefix=()):
+        """Reference-style lenient partial load: copy matching-shape
+        tensors, warn on mismatch/unknown (main.py:131-149)."""
+        flat = flax.traverse_util.flatten_dict(params["params"])
+        cflat = flax.traverse_util.flatten_dict(conv_params)
+        loaded = skipped = 0
+        for k, v in cflat.items():
+            key = prefix + k
+            if key in flat and flat[key].shape == v.shape:
+                flat[key] = jnp.asarray(v)
+                loaded += 1
+            else:
+                skipped += 1
+                print(f"[WARN] skipping param {'.'.join(key)}: "
+                      f"{getattr(v, 'shape', '?')}")
+        return {"params": flax.traverse_util.unflatten_dict(flat)}, loaded
+
     gmflow_path = cfg.system.get("backbone", {}).get(
         "pretrained_model_name_or_path", "")
     if gmflow_path and os.path.exists(gmflow_path):
         conv = convert_gmflow_checkpoint(load_torch_file(gmflow_path))
-        import flax
-
-        flat = flax.traverse_util.flatten_dict(params["params"])
-        cflat = flax.traverse_util.flatten_dict(conv["params"])
-        loaded = 0
-        for k, v in cflat.items():
-            key = ("backbone",) + k
-            if key in flat and flat[key].shape == v.shape:
-                flat[key] = jnp.asarray(v)
-                loaded += 1
-        params = {"params": flax.traverse_util.unflatten_dict(flat)}
+        params, loaded = merge_shape_checked(
+            params, conv["params"], prefix=("backbone",))
         print(f"loaded {loaded} GMFlow tensors from {gmflow_path}")
+
+    # --resume / opt.resume: shape-checked partial weight load from either
+    # a framework .msgpack or a reference torch checkpoint (main.py:131-149)
+    start_epoch = int(opt.get("start_epoch", 0))
+    resume_path = args.resume or opt.get("resume", "")
+    if resume_path and os.path.exists(resume_path):
+        if resume_path.endswith((".bin", ".pth", ".pt")):
+            from igs_tpu.models.torch_convert import (
+                convert_igs_checkpoint, fix_mlp_output_layer,
+            )
+
+            conv = convert_igs_checkpoint(load_torch_file(resume_path))
+            cparams = fix_mlp_output_layer(conv["params"])
+            params, loaded = merge_shape_checked(params, cparams)
+            print(f"resumed {loaded} tensors from torch ckpt {resume_path}")
+        else:
+            from igs_tpu.train.driver import load_checkpoint
+
+            params, ckpt_step = load_checkpoint(resume_path, params)
+            print(f"resumed params from {resume_path} (step {ckpt_step})")
 
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     total_steps = ocfg.num_epochs * steps_per_epoch
@@ -116,12 +149,24 @@ def main():
     tx, sched = make_optimizer(params, ocfg, total_steps,
                                grad_accum=grad_accum)
     opt_state = tx.init(params)
+    # optimizer-state restore (main.py:196-201 resume_opt)
+    resume_opt = opt.get("resume_opt", "")
+    if resume_path and os.path.exists(resume_path + ".opt"):
+        resume_opt = resume_path + ".opt"
+    if resume_opt and os.path.exists(resume_opt):
+        from flax import serialization
+
+        with open(resume_opt, "rb") as f:
+            opt_state = serialization.from_bytes(opt_state, f.read())
+        print(f"restored optimizer state from {resume_opt}")
     step_fn = make_train_step(model, tx, ocfg, settings, mesh=mesh)
 
     log_path = os.path.join(workspace, "log.jsonl")
-    global_step = 0
+    global_step = start_epoch * steps_per_epoch
+    eval_apply = jax.jit(
+        lambda p, b, st, g: model.apply(p, b, st, g, settings))
     rng = np.random.RandomState(0)
-    for epoch in range(ocfg.num_epochs):
+    for epoch in range(start_epoch, ocfg.num_epochs):
         order = rng.permutation(len(train_ds))
         for it in range(steps_per_epoch):
             idxs = order[it * batch_size: (it + 1) * batch_size]
@@ -155,24 +200,26 @@ def main():
             os.path.join(workspace, str(epoch), "params.msgpack"),
             params, opt_state, step=global_step)
 
-        # per-epoch eval (main.py:378-432): PSNR over test items + image dump
+        # per-epoch eval over the FULL test loader (main.py:378-432 walks
+        # the whole test set with gather_for_metrics) + image dump
         try:
             test_ds = build_dataset(cfg.data, training=False)
             from igs_tpu.train.losses import psnr as psnr_fn
             from igs_tpu.utils.saving import save_image
 
-            n_eval = min(len(test_ds), 2 * batch_size)
+            n_eval = len(test_ds)
             psnrs = []
             for i0 in range(0, n_eval, batch_size):
-                items = [test_ds[i] for i in range(
-                    i0, min(i0 + batch_size, n_eval))]
-                if len(items) < batch_size:
-                    break
+                n_real = min(i0 + batch_size, n_eval) - i0
+                items = [test_ds[i] for i in range(i0, i0 + n_real)]
+                while len(items) < batch_size:  # pad ragged tail batch
+                    items.append(items[-1])
                 ebatch, estate, egs = prep_batch(items)
-                out = jax.jit(model.apply)(
-                    params, ebatch, estate, egs, settings)
-                psnrs.append(float(psnr_fn(
-                    out["images_pred"], ebatch["images_output"])))
+                out = eval_apply(params, ebatch, estate, egs)
+                pred = np.clip(np.asarray(out["images_pred"]), 0, 1)
+                gt = np.asarray(ebatch["images_output"])
+                mse = ((pred - gt) ** 2).mean(axis=(1, 2, 3, 4))
+                psnrs.extend((-10 * np.log10(mse))[:n_real].tolist())
                 if i0 == 0:
                     save_image(
                         os.path.join(workspace, str(epoch), "eval_pred.png"),
