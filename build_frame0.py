@@ -173,6 +173,14 @@ def main():
     ap.add_argument("--prune-percent", type=float, default=0.45)
     ap.add_argument("--capacity", type=int, default=200_000)
     ap.add_argument("--frames", type=int, nargs="*", default=None)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="parallel frame jobs (one per chip); the TPU "
+                         "equivalent of build_3dgs_dataset.py's GPU-id "
+                         "pool (ref :43-56)")
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated chip ids for the worker pool "
+                         "(default 0..workers-1), set per-process via "
+                         "TPU_VISIBLE_DEVICES")
     args = ap.parse_args()
 
     frames = args.frames
@@ -180,12 +188,50 @@ def main():
         frames = sorted(
             int(d.split("_")[1]) for d in os.listdir(args.scene)
             if d.startswith("colmap_"))
-    for f in frames:
-        frame_dir = os.path.join(args.scene, f"colmap_{f}")
-        print(f"=== frame {f} ===")
-        train_one_frame(
-            frame_dir, args.images, args.gs_mode, args.iterations,
-            args.prune_percent, args.capacity)
+
+    if args.workers <= 1:
+        for f in frames:
+            frame_dir = os.path.join(args.scene, f"colmap_{f}")
+            print(f"=== frame {f} ===")
+            train_one_frame(
+                frame_dir, args.images, args.gs_mode, args.iterations,
+                args.prune_percent, args.capacity)
+        return
+
+    # multi-chip job pool: a chip-id queue feeds per-frame subprocesses —
+    # the embarrassing job parallelism of build_3dgs_dataset.py:43-56
+    # (CUDA_VISIBLE_DEVICES → TPU_VISIBLE_DEVICES).
+    import multiprocessing as mp
+    import subprocess
+    import sys
+
+    devices = (args.devices.split(",") if args.devices
+               else [str(i) for i in range(args.workers)])
+    manager = mp.Manager()
+    queue = manager.Queue()
+    for d in devices:
+        queue.put(d)
+
+    def run_frame(f):
+        dev = queue.get()
+        try:
+            env = dict(os.environ, TPU_VISIBLE_DEVICES=dev)
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--scene", args.scene, "--images", args.images,
+                "--gs-mode", args.gs_mode,
+                "--iterations", str(args.iterations),
+                "--prune-percent", str(args.prune_percent),
+                "--capacity", str(args.capacity),
+                "--frames", str(f),
+            ]
+            print(f"[chip {dev}] frame {f}")
+            subprocess.run(cmd, env=env, check=False)
+        finally:
+            queue.put(dev)
+
+    with mp.pool.ThreadPool(len(devices)) as pool:
+        pool.map(run_frame, frames)
 
 
 if __name__ == "__main__":

@@ -39,13 +39,15 @@ def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh):
             depth_settings=depth_settings,
         )
 
-    fn = shard_map(
-        local_apply,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
     )
+    try:  # jax.shard_map: check_vma; legacy experimental API: check_rep
+        fn = shard_map(local_apply, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_apply, check_rep=False, **kwargs)
     return jax.jit(fn)
 
 

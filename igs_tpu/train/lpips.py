@@ -57,8 +57,10 @@ class LPIPS(nn.Module):
         fy = vgg(y)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+            # normalize_activation (lpipsPyTorch/modules/utils.py:6-8):
+            # eps added to the norm, not under the sqrt
+            a = a / (jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2  # (B, C, H, W)
             lin = nn.Conv(
                 1, (1, 1), use_bias=False, name=f"lin{i}",
@@ -76,12 +78,20 @@ def load_torch_lpips(params, torch_state: dict):
     flat = flax.traverse_util.flatten_dict(params)
     loaded = 0
     conv_i = 0
-    # torch lpips keys: net.sliceN.M.weight / lins.N.model.1.weight
+    # torch lpips keys: richzhang net.sliceN.M.weight, or lpipsPyTorch
+    # net.layers.N.weight (torchvision features indexing)
     torch_convs = sorted(
         (k for k in torch_state if k.endswith(".weight") and "slice" in k),
         key=lambda k: (int(k.split("slice")[1].split(".")[0]),
                        int(k.split(".")[2])),
     )
+    if not torch_convs:
+        torch_convs = sorted(
+            (k for k in torch_state
+             if k.endswith(".weight") and ".layers." in k
+             and np.asarray(torch_state[k]).ndim == 4),
+            key=lambda k: int(k.split(".layers.")[1].split(".")[0]),
+        )
     for k in torch_convs:
         w = np.asarray(torch_state[k])
         if w.ndim != 4:
@@ -96,7 +106,8 @@ def load_torch_lpips(params, torch_state: dict):
             loaded += 1
             conv_i += 1
     for i in range(5):
-        for key in (f"lins.{i}.model.1.weight", f"lin{i}.model.1.weight"):
+        for key in (f"lins.{i}.model.1.weight", f"lin{i}.model.1.weight",
+                    f"lin.{i}.1.weight"):
             if key in torch_state:
                 w = np.asarray(torch_state[key])  # (1, C, 1, 1)
                 path = ("params", f"lin{i}", "kernel")

@@ -288,6 +288,42 @@ def install():
 
         embeds.CombinedTimestepLabelEmbeddings = CombinedTimestepLabelEmbeddings
 
+    # ---------------- torchvision (vgg16 features only) ----------------
+    if "torchvision" not in sys.modules:
+        tv = _mod("torchvision")
+        tvm = _mod("torchvision.models")
+        tv.models = tvm
+
+        _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                      512, 512, 512, "M", 512, 512, 512, "M"]
+
+        class _VGG(nn.Module):
+            def __init__(self):
+                super().__init__()
+                layers = []
+                in_c = 3
+                for v in _VGG16_CFG:
+                    if v == "M":
+                        layers.append(nn.MaxPool2d(2, 2))
+                    else:
+                        layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+                        layers.append(nn.ReLU(inplace=True))
+                        in_c = v
+                self.features = nn.Sequential(*layers)
+
+        class _W:  # weights enum stand-in
+            IMAGENET1K_V1 = None
+
+        tvm.vgg16 = lambda weights=None, **k: _VGG()
+        tvm.VGG16_Weights = _W
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError(
+                "torchvision stub provides vgg16 only")
+
+        tvm.alexnet = _unavailable
+        tvm.squeezenet1_1 = _unavailable
+
     # ---------------- CUDA rasterizer extensions ----------------
     for ext in ("diff_gaussian_rasterization_rade",
                 "diff_gaussian_rasterization_rade_clamp",
