@@ -49,7 +49,7 @@ def main():
 
     settings = RasterSettings(
         image_height=h, image_width=w, impl="pallas",
-        max_pairs=1 << 19, max_per_tile=1024, chunk=256,
+        max_pairs=1 << 19, max_per_tile=1024, chunk=128,
     )
 
     def loss_fn(xyz, op_raw, scale_raw, rot_raw, shs):

@@ -9,9 +9,20 @@ triplane_encoder.unet).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def _use_flash(seq_len: int) -> bool:
+    """Flash attention on real TPUs for long sequences; the chunked XLA
+    path elsewhere (CPU tests, tiny shapes where kernel launch overhead
+    would dominate). IGS_TPU_NO_FLASH=1 forces the chunked path."""
+    if os.environ.get("IGS_TPU_NO_FLASH"):
+        return False
+    return seq_len >= 2048 and jax.default_backend() == "tpu"
 
 
 class Attention(nn.Module):
@@ -53,7 +64,26 @@ class Attention(nn.Module):
         q, k, v = split(q), split(k), split(v)  # (B, H, L, C)
         scale = self.head_dim ** -0.5
 
-        if L <= self.q_chunk:
+        if _use_flash(L):
+            # Fused online-softmax kernel: the chunked XLA path round-trips
+            # (B, H, qc, L) f32 score blocks through HBM (~1.3 GB per block
+            # at L=8192) — the flash kernel keeps them in VMEM. Measured at
+            # the triplane shape (5, 8, 8192, 64) on v5e: 19 ms vs 54 ms
+            # chunked (tools_bench_attn.py); bf16 variants are SLOWER
+            # (88-979 ms) and stay off. max|Δ| vs chunked ≈ 4e-4.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, flash_attention)
+            bq = min(512, L)
+            bk = min(512, L)
+            bkM = min(1024, L)
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bkM, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bkM,
+                block_q_dkv=bq, block_k_dkv=bk,
+                block_q_dq=bq, block_k_dq=bkM, block_k_major_dq=bkM,
+            )
+            out = flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
+        elif L <= self.q_chunk:
             scores = jnp.einsum(
                 "bhlc,bhmc->bhlm", q, k,
                 preferred_element_type=jnp.float32) * scale

@@ -529,6 +529,12 @@ def _bwd_one_tile(counts_ref, scalars_ref, feats_ref, fwd_ref, cot_ref,
     )
 
 
+# backward tiles-per-block cap: VMEM-limited (the bwd streams two
+# (maxpt, 32) blocks per tile + chunk-sized intermediates); 2 is safe at
+# chunk=256/maxpt=1024, larger values measured via tools_bench_blend.
+_BWD_MAX_TPB = 2
+
+
 def _pick_tpb(num_tiles: int, max_per_tile: int, max_tpb: int) -> int:
     """Tiles per grid step: amortizes per-step overhead (grid steps are
     sequential on a TPU core). The backward kernel streams two
@@ -582,7 +588,7 @@ def _blend_raw_bwd(grid_x, grid_y, chunk, interpret, mode, res, cot):
     gathered, counts, scalars, fwd_out = res
     num_tiles = grid_x * grid_y
     max_per_tile = gathered.shape[1]
-    tpb = _pick_tpb(num_tiles, max_per_tile, max_tpb=2)
+    tpb = _pick_tpb(num_tiles, max_per_tile, max_tpb=_BWD_MAX_TPB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles // tpb,),
@@ -672,6 +678,15 @@ def render_tiles_pallas(
         gathered, counts.astype(jnp.int32), scalars,
         grid_x, grid_y, chunk, interpret, mode,
     )  # (T, P, 24)
+    return _raw_to_outputs(
+        raw, grid_x, grid_y, height, width, focal_x, focal_y, bg)
+
+
+def _raw_to_outputs(raw, grid_x, grid_y, height, width, focal_x, focal_y,
+                    bg):
+    """(T, P, 24) raw accumulators → RenderOutputs (differentiable XLA)."""
+    from igs_tpu.ops.render_tiles import RenderOutputs
+    from igs_tpu.utils.safe_math import safe_norm
 
     def untile(x):
         c = x.shape[-1]
@@ -728,3 +743,532 @@ def render_tiles_pallas(
         n_contrib=n_contrib.astype(jnp.int32),
         max_contrib=(med_pos + 1.0).astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-pair kernels: transposed (32, MP) feature layout + in-kernel DMA.
+#
+# The windowed path above streams (T, max_per_tile, 32) blocks — at N3DV
+# scale tiles average ~420 live pairs against a 1024 budget, so >half the
+# HBM traffic is padding, and the windows must first be materialized by
+# gather_tile_windows (another full read+write). Here the kernel walks each
+# tile's pair segment IN PLACE: features live once as (32, total_pairs)
+# with every tile's segment start 128-aligned (binning.build_tile_pairs_
+# aligned), and each grid step issues double-buffered DMAs of (32, chunk)
+# lane windows. Per-tile budgets (max_per_tile) disappear entirely.
+#
+# The compute is the same math as the windowed kernels with the two axes
+# swapped: intermediates are (P pixels, chunk pairs), prefix/suffix scans
+# over pairs become right-multiplies by triangular matrices, and feature
+# contractions contract the pair (lane) axis on both sides.
+# ---------------------------------------------------------------------------
+
+
+def _pix_coords_t(t, scalars_ref):
+    grid_x = scalars_ref[0].astype(jnp.int32)
+    tx0 = ((t % grid_x) * TILE_X).astype(jnp.float32)
+    ty0 = ((t // grid_x) * TILE_Y).astype(jnp.float32)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pixx = tx0 + (pidx % TILE_X).astype(jnp.float32)
+    pixy = ty0 + (pidx // TILE_X).astype(jnp.float32)
+    return pixx, pixy  # (P, 1)
+
+
+def _common_chunk_t(ft, pixx, pixy):
+    """Transposed _common_chunk: ft (32, W) feature rows, pix (P, 1)."""
+    dx = ft[0:1, :] - pixx  # (P, W)
+    dy = ft[1:2, :] - pixy
+    power = (
+        -0.5 * (ft[2:3, :] * dx * dx + ft[4:5, :] * dy * dy)
+        - ft[3:4, :] * dx * dy
+    )
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(0.99, ft[5:6, :] * expp)
+    return dx, dy, power, expp, alpha
+
+
+def _dma_window(feats_hbm, scratch, sem, off, chunk):
+    """Start the async copy of lanes [off, off+chunk) into scratch.
+
+    ``off`` is always a multiple of PAIR_ALIGN=128 by construction
+    (aligned segment starts + chunk==128 strides); the multiple_of hint
+    tells Mosaic the lane slice is tile-aligned so it can lower the
+    dynamic-offset DMA.
+    """
+    return pltpu.make_async_copy(
+        feats_hbm.at[:, pl.ds(pl.multiple_of(off, 128), chunk)],
+        scratch, sem)
+
+
+def _fwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
+                       out_ref, scratch_ref, sem_ref, *, chunk: int,
+                       tiles_per_block: int, mode: str):
+    for tt in range(tiles_per_block):
+        _fwd_one_tile_packed(
+            counts_ref, starts_ref, scalars_ref, feats_hbm, out_ref,
+            scratch_ref, sem_ref, chunk=chunk, tt=tt, mode=mode)
+
+
+def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
+                         out_ref, scratch_ref, sem_ref, *, chunk: int,
+                         tt: int, mode: str):
+    t = pl.program_id(0) * out_ref.shape[0] + tt
+    count = counts_ref[t]
+    start = starts_ref[t]
+    pixx, pixy = _pix_coords_t(t, scalars_ref)
+    triu_inc = jnp.triu(jnp.ones((chunk, chunk), jnp.float32))
+    tril_inc = triu_inc.T
+
+    n_chunks = pl.cdiv(count, chunk)
+
+    def dotl(a, b):  # (P, W) ×(contract W) (K, W) → (P, K)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), precision=HI)
+
+    # double buffering: slot c%2 holds chunk c
+    @pl.when(n_chunks > 0)
+    def _prologue():
+        _dma_window(feats_hbm, scratch_ref.at[0], sem_ref.at[0],
+                    start, chunk).start()
+
+    carry0 = (
+        jnp.zeros((P, 1), jnp.float32),  # 0 logT
+        jnp.zeros((P, 1), jnp.float32),  # 1 done
+        jnp.zeros((P, 4), jnp.float32),  # 2 color3 + weight1
+        jnp.zeros((P, 4), jnp.float32),  # 3 coord3 + depth1
+        jnp.zeros((P, 4), jnp.float32),  # 4 normal3 + pad
+        jnp.zeros((P, 4), jnp.float32),  # 5 mcoord3 + mdepth1
+        jnp.zeros((P, 1), jnp.float32),  # 6 n_contrib
+        jnp.full((P, 1), -1.0),          # 7 med_pos
+        jnp.int32(0),                    # 8 chunk index
+    )
+
+    def cond(c):
+        return (c[8] < n_chunks) & (jnp.min(c[1]) < 0.5)
+
+    def body(carry):
+        (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos,
+         c) = carry
+        slot = c % 2
+        _dma_window(feats_hbm, scratch_ref.at[slot], sem_ref.at[slot],
+                    start + c * chunk, chunk).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            _dma_window(
+                feats_hbm, scratch_ref.at[(c + 1) % 2],
+                sem_ref.at[(c + 1) % 2],
+                start + (c + 1) * chunk, chunk).start()
+
+        ft = scratch_ref[slot]  # (32, chunk)
+        slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                    + c * chunk)
+        live = slot_row < count
+        dx, dy, power, _, alpha = _common_chunk_t(ft, pixx, pixy)
+        cand = live & (power <= 0.0) & (alpha >= _MIN_ALPHA)
+        a = jnp.where(cand, alpha, 0.0)
+        log1m = jnp.log1p(-a)
+        cum_incl = logT + jnp.dot(log1m, triu_inc, precision=HI)
+        alive = cum_incl >= _LOG_TERM
+        accept = cand & alive & (done < 0.5)
+        t_before = jnp.exp(cum_incl - log1m)
+        w = jnp.where(accept, a * t_before, 0.0)
+        wdx = w * dx
+        wdy = w * dy
+
+        ones_row = jnp.ones((1, chunk), jnp.float32)
+        f_cw = jnp.concatenate([ft[6:9, :], ones_row], axis=0)  # (4, W)
+        f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
+        f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
+        f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
+        f_n = jnp.concatenate(
+            [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
+
+        acc_cw = acc_cw + dotl(w, f_cw)
+        slotf = slot_row.astype(jnp.float32)
+        if mode != "color":
+            acc_cd = (
+                acc_cd
+                + dotl(w, f_cd_w)
+                + dotl(wdx, f_cd_x)
+                + dotl(wdy, f_cd_y)
+            )
+        if mode == "full":
+            acc_n = acc_n + dotl(w, f_n)
+
+            med = (accept & (t_before > 0.5)).astype(jnp.float32)
+            suffix = jnp.dot(med, tril_inc, precision=HI)
+            last = med * (suffix < 1.5)
+            has = jnp.sum(last, axis=1, keepdims=True)  # (P, 1)
+            med_new = (
+                dotl(last, f_cd_w)
+                + dotl(last * dx, f_cd_x)
+                + dotl(last * dy, f_cd_y)
+            )
+            acc_med = jnp.where(has > 0.5, med_new, acc_med)
+            medpos_new = jnp.sum(last * slotf, axis=1, keepdims=True)
+            medpos = jnp.where(has > 0.5, medpos_new, medpos)
+
+        acceptf = accept.astype(jnp.float32)
+        ncontrib = jnp.maximum(
+            ncontrib,
+            jnp.max(acceptf * (slotf + 1.0), axis=1, keepdims=True),
+        )
+        logT = logT + jnp.sum(
+            jnp.where(accept, log1m, 0.0), axis=1, keepdims=True
+        )
+        done = jnp.maximum(
+            done,
+            jnp.max(jnp.where(cand & ~alive, 1.0, 0.0), axis=1,
+                    keepdims=True),
+        )
+        return (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib,
+                medpos, c + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    logT, _, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos, _ = out
+    out_ref[tt, :, :] = jnp.concatenate(
+        [
+            acc_cw[:, 0:3],
+            acc_cw[:, 3:4],
+            acc_cd,
+            acc_n[:, 0:3],
+            acc_med,
+            logT,
+            ncontrib,
+            medpos,
+            jnp.zeros((P, 6), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
+                       fwd_ref, cot_ref, dz_hbm, dout_hbm, scratch_ref,
+                       oscratch_ref, sem_ref, osem_ref, *, chunk: int,
+                       tiles_per_block: int, mode: str):
+    del dz_hbm  # zero-initialized alias of dout_hbm
+    for tt in range(tiles_per_block):
+        _bwd_one_tile_packed(
+            counts_ref, starts_ref, scalars_ref, feats_hbm, fwd_ref,
+            cot_ref, dout_hbm, scratch_ref, oscratch_ref, sem_ref,
+            osem_ref, chunk=chunk, tt=tt, mode=mode)
+
+
+def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
+                         fwd_ref, cot_ref, dout_hbm, scratch_ref,
+                         oscratch_ref, sem_ref, osem_ref, *, chunk: int,
+                         tt: int, mode: str):
+    t = pl.program_id(0) * fwd_ref.shape[0] + tt
+    count = counts_ref[t]
+    start = starts_ref[t]
+    pixx, pixy = _pix_coords_t(t, scalars_ref)
+    ones_c = jnp.ones((chunk, chunk), jnp.float32)
+    tril_inc = jnp.tril(ones_c)          # suffix inclusive (j ≥ i)
+    tril_exc = tril_inc - jnp.eye(chunk, dtype=jnp.float32)  # j > i
+
+    fwd = fwd_ref[tt, :, :]  # (P, 24)
+    cot = cot_ref[tt, :, :]
+    logT_final = fwd[:, 15:16]  # (P, 1)
+    ncontrib = fwd[:, 16:17]
+    medpos = fwd[:, 17:18]
+
+    uC = cot[:, 0:3]
+    uW = cot[:, 3:4]
+    uCD = cot[:, 4:8]
+    uN = cot[:, 8:11]
+    uMed = cot[:, 11:15]
+    ulogT = cot[:, 15:16]  # (P, 1)
+    uCW = jnp.concatenate([uC, uW], axis=1)  # (P, 4)
+
+    nc_max = jnp.max(ncontrib).astype(jnp.int32)
+    limit = jnp.minimum(count, nc_max)
+    c_start = pl.cdiv(limit, chunk) - 1
+
+    def dotl(a, b):  # (P, W) × (K, W) → (P, K), contract lanes
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), precision=HI)
+
+    def dotc(a, b):  # (P, K) × (P, W) → (K, W), contract sublanes
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), precision=HI)
+
+    @pl.when(c_start >= 0)
+    def _prologue():
+        _dma_window(feats_hbm, scratch_ref.at[c_start % 2],
+                    sem_ref.at[c_start % 2],
+                    start + c_start * chunk, chunk).start()
+
+    def cond(carry):
+        return carry[2] >= 0
+
+    def body(carry):
+        s_carry, logT_end, c = carry
+        slot = c % 2
+        _dma_window(feats_hbm, scratch_ref.at[slot], sem_ref.at[slot],
+                    start + c * chunk, chunk).wait()
+
+        @pl.when(c - 1 >= 0)
+        def _prefetch():
+            _dma_window(feats_hbm, scratch_ref.at[(c - 1) % 2],
+                        sem_ref.at[(c - 1) % 2],
+                        start + (c - 1) * chunk, chunk).start()
+
+        ft = scratch_ref[slot]
+        slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                    + c * chunk)
+        slotf = slot_row.astype(jnp.float32)
+        dx, dy, power, expp, alpha = _common_chunk_t(ft, pixx, pixy)
+        accept = (
+            (slot_row < count)
+            & (power <= 0.0)
+            & (alpha >= _MIN_ALPHA)
+            & ((slotf + 1.0) <= ncontrib)
+        )
+        a = jnp.where(accept, alpha, 0.0)
+        log1m = jnp.log1p(-a)
+        suffix_incl = jnp.dot(log1m, tril_inc, precision=HI)
+        logT_i = logT_end - suffix_incl
+        t_i = jnp.exp(logT_i)
+        w = jnp.where(accept, a * t_i, 0.0)
+
+        ones_row = jnp.ones((1, chunk), jnp.float32)
+        f_cw = jnp.concatenate([ft[6:9, :], ones_row], axis=0)
+        f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
+        f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
+        f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
+        f_n4 = jnp.concatenate(
+            [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
+
+        g = jnp.dot(uCW, f_cw, precision=HI)  # (P, W)
+        if mode != "color":
+            gx = jnp.dot(uCD, f_cd_x, precision=HI)
+            gy = jnp.dot(uCD, f_cd_y, precision=HI)
+            g = g + jnp.dot(uCD, f_cd_w, precision=HI) + dx * gx + dy * gy
+        if mode == "full":
+            g = g + jnp.dot(
+                jnp.concatenate(
+                    [uN, jnp.zeros((P, 1), jnp.float32)], axis=1),
+                f_n4, precision=HI)
+        wg = w * g
+        s_cur = s_carry + jnp.dot(wg, tril_exc, precision=HI)
+
+        da = jnp.where(
+            accept,
+            t_i * g - (s_cur + ulogT) / (1.0 - a),
+            0.0,
+        )
+        notclip = (alpha < 0.99).astype(jnp.float32)
+        dpower = da * a * notclip
+        dop_px = da * expp * notclip
+
+        ddx = dpower * (-(ft[2:3, :] * dx + ft[3:4, :] * dy))
+        ddy = dpower * (-(ft[4:5, :] * dy + ft[3:4, :] * dx))
+        if mode != "color":
+            ddx = ddx + w * gx
+            ddy = ddy + w * gy
+        if mode == "full":
+            lastm = (
+                (slotf == medpos) & (medpos >= 0.0)
+            ).astype(jnp.float32)  # (P, W)
+            ldx = lastm * dx
+            ldy = lastm * dy
+            ddx = ddx + lastm * jnp.dot(uMed, f_cd_x, precision=HI)
+            ddy = ddy + lastm * jnp.dot(uMed, f_cd_y, precision=HI)
+
+        wdx = w * dx
+        wdy = w * dy
+        dxy_x = jnp.sum(ddx, axis=0, keepdims=True)  # (1, W)
+        dxy_y = jnp.sum(ddy, axis=0, keepdims=True)
+        dconic = jnp.concatenate(
+            [
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True),
+                jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True),
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True),
+            ],
+            axis=0,
+        )  # (3, W)
+        dop = jnp.sum(dop_px, axis=0, keepdims=True)
+        dcolor = dotc(uC, w)  # (3, W)
+        if mode != "color":
+            dvp_t = dotc(uCD, w)  # (4, W)
+            dcpx_rp0 = dotc(uCD, wdx)
+            dcpy_rp1 = dotc(uCD, wdy)
+        else:
+            dvp_t = jnp.zeros((4, chunk), jnp.float32)
+            dcpx_rp0 = jnp.zeros((4, chunk), jnp.float32)
+            dcpy_rp1 = jnp.zeros((4, chunk), jnp.float32)
+        if mode == "full":
+            dvp_t = dvp_t + dotc(uMed, lastm)
+            dcpx_rp0 = dcpx_rp0 + dotc(uMed, ldx)
+            dcpy_rp1 = dcpy_rp1 + dotc(uMed, ldy)
+            dnrm = dotc(uN, w)  # (3, W)
+        else:
+            dnrm = jnp.zeros((3, chunk), jnp.float32)
+
+        block = jnp.concatenate(
+            [
+                dxy_x,               # 0:2
+                dxy_y,
+                dconic,              # 2:5
+                dop,                 # 5
+                dcolor,              # 6:9
+                dvp_t[0:3, :],       # 9:12
+                dvp_t[3:4, :],       # 12
+                dcpx_rp0[0:3, :],    # 13:16
+                dcpy_rp1[0:3, :],    # 16:19
+                dcpx_rp0[3:4, :],    # 19
+                dcpy_rp1[3:4, :],    # 20
+                dnrm,                # 21:24
+                jnp.zeros((8, chunk), jnp.float32),
+            ],
+            axis=0,
+        )  # (32, W)
+        # write out through the out-scratch; wait for the previous copy
+        # to release the buffer before overwriting it
+        oslot = c % 2
+        oscratch_ref[oslot] = block
+        ocopy = pltpu.make_async_copy(
+            oscratch_ref.at[oslot],
+            dout_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, 128),
+                                 chunk)],
+            osem_ref.at[oslot],
+        )
+        ocopy.start()
+        ocopy.wait()
+
+        s_next = s_carry + jnp.sum(wg, axis=1, keepdims=True)
+        logT_next = logT_end - jnp.sum(
+            jnp.where(accept, log1m, 0.0), axis=1, keepdims=True
+        )
+        return (s_next, logT_next, c - 1)
+
+    jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((P, 1), jnp.float32), logT_final, c_start),
+    )
+
+
+def _packed_tpb(num_tiles: int) -> int:
+    for tpb in (8, 4, 2):
+        if num_tiles % tpb == 0:
+            return tpb
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
+                     interpret, mode="full"):
+    """(32, total_pairs) packed feats → (T, P, 24) raw accumulators.
+
+    ``feats_t`` is the TRANSPOSED per-pair feature array with every tile's
+    segment start 128-aligned (binning.build_tile_pairs_aligned); the
+    kernel walks each segment with double-buffered (32, 128) DMAs instead
+    of streaming padded (max_per_tile, 32) windows. Chunk width is fixed
+    at PAIR_ALIGN=128 so reads and writes never cross a segment boundary.
+    """
+    num_tiles = grid_x * grid_y
+    chunk = 128  # == binning.PAIR_ALIGN; see docstring
+    tpb = _packed_tpb(num_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles // tpb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 32, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, chunk=chunk,
+                          tiles_per_block=tpb, mode=mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 24), jnp.float32),
+        interpret=interpret,
+    )(counts, starts, scalars, feats_t)
+
+
+def _blend_raw_packed_fwd(feats_t, counts, starts, scalars, grid_x, grid_y,
+                          interpret, mode="full"):
+    out = blend_raw_packed(feats_t, counts, starts, scalars, grid_x,
+                           grid_y, interpret, mode)
+    return out, (feats_t, counts, starts, scalars, out)
+
+
+def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
+    import numpy as _np
+
+    feats_t, counts, starts, scalars, fwd_out = res
+    num_tiles = grid_x * grid_y
+    chunk = 128
+    tpb = _packed_tpb(num_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles // tpb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 32, chunk), jnp.float32),
+            pltpu.VMEM((2, 32, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # pad segments the kernel never reaches (beyond each tile's n_contrib
+    # limit, between-segment pad lanes, the invalid-pair tail) must come
+    # back zero: alias a zeros input to the output buffer. The alias index
+    # counts ALL pallas_call operands incl. the scalar-prefetch ones.
+    dzero = jnp.zeros_like(feats_t)
+    dfeats_t = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, chunk=chunk,
+                          tiles_per_block=tpb, mode=mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(feats_t.shape, jnp.float32),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(counts, starts, scalars, feats_t, fwd_out, cot, dzero)
+    return (
+        dfeats_t,
+        _np.zeros(counts.shape, jax.dtypes.float0),
+        _np.zeros(starts.shape, jax.dtypes.float0),
+        jnp.zeros_like(scalars),
+    )
+
+
+blend_raw_packed.defvjp(_blend_raw_packed_fwd, _blend_raw_packed_bwd)
+
+
+def render_tiles_pallas_packed(
+    proj: ProjectedGaussians,
+    pairs,  # TilePairs from build_tile_pairs_aligned
+    height: int,
+    width: int,
+    focal_x,
+    focal_y,
+    bg: jnp.ndarray,
+    interpret: bool = False,
+    mode: str = "full",
+):
+    """Packed-pair Pallas render: no per-tile budget, ~2× less HBM traffic
+    than the windowed path at N3DV tile densities."""
+    grid_x = (width + TILE_X - 1) // TILE_X
+    grid_y = (height + TILE_Y - 1) // TILE_Y
+    feats = pack_features(proj)  # (N, 32)
+    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MPT, 32)
+    feats_t = pair_feats.T  # (32, MPT) — lanes = pairs
+    scalars = jnp.concatenate(
+        [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)]
+    )
+    raw = blend_raw_packed(
+        feats_t, pairs.tile_count.astype(jnp.int32),
+        pairs.tile_start.astype(jnp.int32), scalars,
+        grid_x, grid_y, interpret, mode,
+    )
+    return _raw_to_outputs(
+        raw, grid_x, grid_y, height, width, focal_x, focal_y, bg)

@@ -41,8 +41,12 @@ class RasterSettings(NamedTuple):
     scale_modifier: float = 1.0
     max_pairs: int = 2**21
     max_per_tile: int = 4096
-    chunk: int = 256
-    impl: str = "tiles"  # "tiles" | "pallas" | "reference"
+    chunk: int = 128  # pair-chunk per kernel step; 128 measured fastest
+    # at 512²/150k (tools_bench_blend.py: 58.4 vs 60.3 ms fwd+bwd @256)
+    # "tiles" = exact XLA path (gradcheck oracle); "pallas" = fused
+    # windowed kernels; "pallas_packed" = fused kernels over the aligned
+    # packed pair list (no per-tile budget, least HBM traffic — production)
+    impl: str = "tiles"
     binning: str = "sort"  # "sort" (merge-searchsorted) | "compact"
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
     # "full" = all RaDe-GS outputs; "color" = color/alpha only (the refine
@@ -98,6 +102,21 @@ def _rasterize_impl(
 
         grid_x, grid_y = image_tile_grid(h, w)
         pairs = None
+        if settings.impl == "pallas_packed":
+            from igs_tpu.ops.binning import build_tile_pairs_aligned
+            from igs_tpu.ops.pallas_blend import render_tiles_pallas_packed
+
+            pairs = build_tile_pairs_aligned(
+                proj, grid_x, grid_y, settings.max_pairs)
+            out = render_tiles_pallas_packed(
+                proj, pairs, h, w, fx, fy, bg,
+                interpret=settings.pallas_interpret,
+                mode=settings.outputs,
+            )
+            # no per-tile budget in the packed path; only the global pair
+            # budget can truncate
+            overflow = jnp.where(pairs.overflowed, jnp.int32(1 << 20), 0)
+            return out, proj, overflow
         if settings.binning == "compact":
             idx_table, counts = build_tile_lists_compact(
                 proj, grid_x, grid_y, settings.max_per_tile

@@ -84,13 +84,13 @@ class StreamingPipeline:
         # (infer_batch.py:39-124) and the clamp one inside AGM.
         self.refine_settings = out_settings._replace(
             clamp_grads=False,
-            outputs="color" if out_settings.impl == "pallas" else "full",
+            outputs="color" if out_settings.impl.startswith("pallas") else "full",
         )
         # AGM eval renders feed only PSNR (color); clamp applies to grads
         # but streaming inference never differentiates through AGM renders
         self.agm_settings = out_settings._replace(
             clamp_grads=True,
-            outputs="color" if out_settings.impl == "pallas" else "full",
+            outputs="color" if out_settings.impl.startswith("pallas") else "full",
         )
         if cfg.depth_view_res:
             r = min(cfg.depth_view_res, out_settings.image_height,
@@ -99,7 +99,7 @@ class StreamingPipeline:
                 image_height=r, image_width=r,
                 max_pairs=min(self.agm_settings.max_pairs, 1 << 18),
                 max_per_tile=min(self.agm_settings.max_per_tile, 512),
-                outputs=("color_depth" if self.agm_settings.impl == "pallas"
+                outputs=("color_depth" if self.agm_settings.impl.startswith("pallas")
                          else "full"),
             )
         else:

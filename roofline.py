@@ -77,7 +77,7 @@ def main():
     bbox = jnp.asarray([[-2.0, -2, -2], [2.0, 2, 2]])
     settings = RasterSettings(
         image_height=res, image_width=res, impl=args.impl,
-        max_pairs=1 << 19, max_per_tile=1024, chunk=256,
+        max_pairs=1 << 19, max_per_tile=1024, chunk=128,
     )
     results = {}
 

@@ -132,3 +132,74 @@ def test_color_and_depth_modes():
         lambda x: loss(x, PALLAS._replace(outputs="color")))(g.xyz)
     np.testing.assert_allclose(np.asarray(g_col), np.asarray(g_full),
                                atol=1e-6)
+
+
+# --- packed-pair path (aligned segments, in-kernel DMA) ---
+
+PACKED = XLA._replace(impl="pallas_packed", pallas_interpret=True)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 256), (2, 768)])
+def test_packed_forward_parity(seed, n):
+    cam = make_camera()
+    g = random_gaussians(n=n, seed=seed)
+    ref = rasterize(**_args(g, cam), settings=XLA)
+    pal = rasterize(**_args(g, cam), settings=PACKED)
+    for k in ["color", "alpha", "coord", "mcoord", "depth", "mdepth",
+              "normal"]:
+        np.testing.assert_allclose(
+            np.asarray(pal[k]), np.asarray(ref[k]), atol=2e-4, rtol=1e-3,
+            err_msg=f"{k} mismatch",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(pal["n_contrib"]), np.asarray(ref["n_contrib"]))
+
+
+def test_packed_full_gradient_parity():
+    cam = make_camera(height=32, width=32)
+    g = random_gaussians(n=96, seed=5)
+    sx = XLA._replace(image_height=32, image_width=32, max_per_tile=256)
+    sp = sx._replace(impl="pallas_packed", pallas_interpret=True)
+
+    def loss(args, settings):
+        xyz, op, sc, ro, shs = args
+        out = rasterize(
+            means3d=xyz, opacity=jax.nn.sigmoid(op), scaling=jnp.exp(sc),
+            rotation=ro / jnp.linalg.norm(ro, axis=-1, keepdims=True),
+            camera=cam, shs=shs, bg=jnp.array([0.1, 0.2, 0.3]),
+            settings=settings,
+        )
+        return (
+            jnp.mean(jnp.abs(out["color"]))
+            + 0.2 * jnp.mean(out["depth"])
+            + 0.1 * jnp.mean(out["mdepth"])
+            + 0.1 * jnp.mean(out["mcoord"])
+            + 0.05 * jnp.mean(out["alpha"])
+            + 0.05 * jnp.mean(out["normal"])
+            + 0.05 * jnp.mean(out["coord"])
+        )
+
+    args = (g.xyz, g.opacity, g.scaling, g.rotation, g.shs)
+    g_ref = jax.grad(lambda a: loss(a, sx))(args)
+    g_pal = jax.grad(lambda a: loss(a, sp))(args)
+    for name, a, b in zip(("xyz", "op", "sc", "ro", "shs"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-3,
+            err_msg=f"grad {name}")
+
+
+def test_packed_color_mode_gradients():
+    cam = make_camera()
+    g = random_gaussians(n=256, seed=7)
+
+    def loss(xyz, settings):
+        return jnp.mean(rasterize(
+            means3d=xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+            rotation=g.get_rotation, camera=cam, shs=g.shs,
+            settings=settings)["color"] ** 2)
+
+    g_full = jax.grad(lambda x: loss(x, PALLAS))(g.xyz)
+    g_col = jax.grad(
+        lambda x: loss(x, PACKED._replace(outputs="color")))(g.xyz)
+    np.testing.assert_allclose(np.asarray(g_col), np.asarray(g_full),
+                               atol=1e-5)
