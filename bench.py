@@ -48,7 +48,7 @@ def main():
     cam = Camera.from_w2c(w2c, 0.9, 0.9, height=h, width=w)
 
     settings = RasterSettings(
-        image_height=h, image_width=w, impl="pallas",
+        image_height=h, image_width=w, impl="pallas_packed",
         max_pairs=1 << 19, max_per_tile=1024, chunk=128,
     )
 

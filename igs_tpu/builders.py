@@ -53,9 +53,11 @@ def build_raster_settings(
     if impl == "auto":
         import jax
 
-        # fused Pallas kernels on TPU; XLA path elsewhere (CPU tests can
-        # opt into interpret mode explicitly)
-        impl = "pallas" if jax.default_backend() == "tpu" else "tiles"
+        # fused packed-pair Pallas kernels on TPU (no per-tile budget,
+        # least HBM traffic — fwd+bwd 47.9 vs 58.8 ms at 512²/150k vs the
+        # windowed path, PERF.md §round-2); XLA path elsewhere (CPU tests
+        # can opt into interpret mode explicitly)
+        impl = "pallas_packed" if jax.default_backend() == "tpu" else "tiles"
     return RasterSettings(
         image_height=height, image_width=width, impl=impl,
         max_pairs=max_pairs, max_per_tile=max_per_tile,

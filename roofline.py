@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--refine-iters", type=int, default=50)
-    ap.add_argument("--impl", default="pallas")
+    ap.add_argument("--impl", default="pallas_packed")
     ap.add_argument("--depth-res", type=int, default=128)
     ap.add_argument("--out", default="roofline.json")
     args = ap.parse_args()
