@@ -209,7 +209,10 @@ class AGMNet(nn.Module):
                          depth_settings.image_width),
                     )
                 )(c2ws[1:])
-                outd = render_views(gdef, camsd, bg, depth_settings)
+                # small depth-carry views: one batched launch over the 4
+                # views (vmap) instead of 4 sequential 128² renders
+                outd = render_views(gdef, camsd, bg, depth_settings,
+                                    parallel=True)
                 return {
                     "images_pred": out0["images_pred"],
                     "depth_pred_eval": out0["depth_pred"],

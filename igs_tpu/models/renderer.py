@@ -75,10 +75,16 @@ def render_views(
     bg: jnp.ndarray,
     settings: RasterSettings,
     ret_rgb: bool = True,
+    parallel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render a set of output views of one deformed Gaussians model.
 
     Returns images_pred (V, 3, H, W), depth_pred (V, H, W), alpha.
+
+    ``parallel=True`` vmaps over the views instead of lax.map — one
+    batched projection/binning/kernel launch instead of V sequential
+    ones. Use for many SMALL renders (the 128² depth-carry views); the
+    V× intermediate memory makes it unsuitable for full-res eval sweeps.
     """
 
     def one(cam):
@@ -104,6 +110,8 @@ def render_views(
             "overflow_tiles": out["overflow_tiles"],
         }
 
+    if parallel:
+        return jax.vmap(one)(cameras)
     return jax.lax.map(one, cameras)
 
 

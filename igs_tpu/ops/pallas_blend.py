@@ -43,6 +43,23 @@ _LOG_TERM = -9.210340371976182  # log(1e-4)
 _MIN_ALPHA = 1.0 / 255.0
 P = TILE_X * TILE_Y  # 256 pixels per tile
 HI = jax.lax.Precision.HIGHEST
+LO = jax.lax.Precision.DEFAULT
+
+
+def _tri_dot(x, tri):
+    """dot(x, tri) for a 0/1 triangular matrix in 2 MXU passes.
+
+    The (W, W) triangular prefix/suffix dots are the MXU-dominant cost of
+    the packed kernels, and HIGHEST runs them as 6 bf16 passes (Mosaic
+    rejects Precision.HIGH). But ``tri`` is exactly representable in
+    bf16, so splitting only ``x`` (hi = bf16(x), lo = x - hi) makes
+    dot(hi, tri) + dot(lo, tri) accurate to ~2^-17 relative -- far inside
+    the 2e-4 parity envelope -- at 1/3 the MXU time.
+    """
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    return (jnp.dot(hi, tri, precision=LO)
+            + jnp.dot(lo, tri, precision=LO))
 
 _XY = slice(0, 2)
 _COLOR = slice(6, 9)
@@ -803,6 +820,18 @@ def _dma_window(feats_hbm, scratch, sem, off, chunk):
 def _fwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                        out_ref, scratch_ref, sem_ref, *, chunk: int,
                        tiles_per_block: int, mode: str):
+    # Cross-tile DMA pipelining: at N3DV densities the average tile holds
+    # ~1 chunk, so a per-tile prologue-then-wait exposes the full HBM
+    # latency once per tile. Issue EVERY tile's first-window DMA up front
+    # into per-tile buffers — later tiles' first waits then overlap
+    # earlier tiles' compute.
+    t0 = pl.program_id(0) * out_ref.shape[0]
+    for tt in range(tiles_per_block):
+        @pl.when(counts_ref[t0 + tt] > 0)
+        def _prologue(tt=tt):
+            _dma_window(feats_hbm, scratch_ref.at[tt, 0],
+                        sem_ref.at[tt, 0], starts_ref[t0 + tt],
+                        chunk).start()
     for tt in range(tiles_per_block):
         _fwd_one_tile_packed(
             counts_ref, starts_ref, scalars_ref, feats_hbm, out_ref,
@@ -825,11 +854,8 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         return jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), precision=HI)
 
-    # double buffering: slot c%2 holds chunk c
-    @pl.when(n_chunks > 0)
-    def _prologue():
-        _dma_window(feats_hbm, scratch_ref.at[0], sem_ref.at[0],
-                    start, chunk).start()
+    # double buffering: slot c%2 of this tile's buffer pair holds chunk c;
+    # chunk 0's DMA was issued by the kernel-level prologue.
 
     carry0 = (
         jnp.zeros((P, 1), jnp.float32),  # 0 logT
@@ -850,17 +876,18 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         (logT, done, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos,
          c) = carry
         slot = c % 2
-        _dma_window(feats_hbm, scratch_ref.at[slot], sem_ref.at[slot],
+        _dma_window(feats_hbm, scratch_ref.at[tt, slot],
+                    sem_ref.at[tt, slot],
                     start + c * chunk, chunk).wait()
 
         @pl.when(c + 1 < n_chunks)
         def _prefetch():
             _dma_window(
-                feats_hbm, scratch_ref.at[(c + 1) % 2],
-                sem_ref.at[(c + 1) % 2],
+                feats_hbm, scratch_ref.at[tt, (c + 1) % 2],
+                sem_ref.at[tt, (c + 1) % 2],
                 start + (c + 1) * chunk, chunk).start()
 
-        ft = scratch_ref[slot]  # (32, chunk)
+        ft = scratch_ref[tt, slot]  # (32, chunk)
         slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
                     + c * chunk)
         live = slot_row < count
@@ -868,7 +895,7 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         cand = live & (power <= 0.0) & (alpha >= _MIN_ALPHA)
         a = jnp.where(cand, alpha, 0.0)
         log1m = jnp.log1p(-a)
-        cum_incl = logT + jnp.dot(log1m, triu_inc, precision=HI)
+        cum_incl = logT + _tri_dot(log1m, triu_inc)
         alive = cum_incl >= _LOG_TERM
         accept = cand & alive & (done < 0.5)
         t_before = jnp.exp(cum_incl - log1m)
@@ -897,7 +924,7 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             acc_n = acc_n + dotl(w, f_n)
 
             med = (accept & (t_before > 0.5)).astype(jnp.float32)
-            suffix = jnp.dot(med, tril_inc, precision=HI)
+            suffix = jnp.dot(med, tril_inc, precision=LO)
             last = med * (suffix < 1.5)
             has = jnp.sum(last, axis=1, keepdims=True)  # (P, 1)
             med_new = (
@@ -926,7 +953,18 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                 medpos, c + 1)
 
     out = jax.lax.while_loop(cond, body, carry0)
-    logT, _, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos, _ = out
+    logT, _, acc_cw, acc_cd, acc_n, acc_med, ncontrib, medpos, cf = out
+
+    # drain: on early termination (every pixel saturated) the loop exits
+    # with chunk cf's prefetch still in flight; its semaphore signal must
+    # be consumed or the next tile/grid step reusing this buffer pair
+    # would see a stale completion and read garbage.
+    @pl.when(cf < n_chunks)
+    def _drain():
+        _dma_window(feats_hbm, scratch_ref.at[tt, cf % 2],
+                    sem_ref.at[tt, cf % 2],
+                    start + cf * chunk, chunk).wait()
+
     out_ref[tt, :, :] = jnp.concatenate(
         [
             acc_cw[:, 0:3],
@@ -943,11 +981,32 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     )
 
 
+def _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk):
+    """Index of the LAST chunk the backward pass must visit for tile tt
+    (the forward's n_contrib early-termination skip), or -1 if none."""
+    count = counts_ref[t]
+    nc_max = jnp.max(fwd_ref[tt, :, 16:17]).astype(jnp.int32)
+    limit = jnp.minimum(count, nc_max)
+    return pl.cdiv(limit, chunk) - 1
+
+
 def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                        fwd_ref, cot_ref, dz_hbm, dout_hbm, scratch_ref,
                        oscratch_ref, sem_ref, osem_ref, *, chunk: int,
                        tiles_per_block: int, mode: str):
     del dz_hbm  # zero-initialized alias of dout_hbm
+    # cross-tile pipelining: issue every tile's first-window DMA up front
+    # (see _fwd_kernel_packed)
+    t0 = pl.program_id(0) * fwd_ref.shape[0]
+    for tt in range(tiles_per_block):
+        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk)
+
+        @pl.when(c_start >= 0)
+        def _prologue(tt=tt, c_start=c_start):
+            _dma_window(feats_hbm, scratch_ref.at[tt, c_start % 2],
+                        sem_ref.at[tt, c_start % 2],
+                        starts_ref[t0 + tt] + c_start * chunk,
+                        chunk).start()
     for tt in range(tiles_per_block):
         _bwd_one_tile_packed(
             counts_ref, starts_ref, scalars_ref, feats_hbm, fwd_ref,
@@ -981,9 +1040,7 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     ulogT = cot[:, 15:16]  # (P, 1)
     uCW = jnp.concatenate([uC, uW], axis=1)  # (P, 4)
 
-    nc_max = jnp.max(ncontrib).astype(jnp.int32)
-    limit = jnp.minimum(count, nc_max)
-    c_start = pl.cdiv(limit, chunk) - 1
+    c_start = _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk)
 
     def dotl(a, b):  # (P, W) × (K, W) → (P, K), contract lanes
         return jax.lax.dot_general(
@@ -993,11 +1050,7 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         return jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())), precision=HI)
 
-    @pl.when(c_start >= 0)
-    def _prologue():
-        _dma_window(feats_hbm, scratch_ref.at[c_start % 2],
-                    sem_ref.at[c_start % 2],
-                    start + c_start * chunk, chunk).start()
+    # chunk c_start's DMA was issued by the kernel-level prologue
 
     def cond(carry):
         return carry[2] >= 0
@@ -1005,16 +1058,17 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     def body(carry):
         s_carry, logT_end, c = carry
         slot = c % 2
-        _dma_window(feats_hbm, scratch_ref.at[slot], sem_ref.at[slot],
+        _dma_window(feats_hbm, scratch_ref.at[tt, slot],
+                    sem_ref.at[tt, slot],
                     start + c * chunk, chunk).wait()
 
         @pl.when(c - 1 >= 0)
         def _prefetch():
-            _dma_window(feats_hbm, scratch_ref.at[(c - 1) % 2],
-                        sem_ref.at[(c - 1) % 2],
+            _dma_window(feats_hbm, scratch_ref.at[tt, (c - 1) % 2],
+                        sem_ref.at[tt, (c - 1) % 2],
                         start + (c - 1) * chunk, chunk).start()
 
-        ft = scratch_ref[slot]
+        ft = scratch_ref[tt, slot]
         slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
                     + c * chunk)
         slotf = slot_row.astype(jnp.float32)
@@ -1027,6 +1081,9 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         )
         a = jnp.where(accept, alpha, 0.0)
         log1m = jnp.log1p(-a)
+        # T-recovery subtracts this suffix from logT_final — catastrophic
+        # cancellation makes it the one tril dot that needs full f32
+        # (2-pass here measured 4× the grad error of the windowed path)
         suffix_incl = jnp.dot(log1m, tril_inc, precision=HI)
         logT_i = logT_end - suffix_incl
         t_i = jnp.exp(logT_i)
@@ -1051,7 +1108,7 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                     [uN, jnp.zeros((P, 1), jnp.float32)], axis=1),
                 f_n4, precision=HI)
         wg = w * g
-        s_cur = s_carry + jnp.dot(wg, tril_exc, precision=HI)
+        s_cur = s_carry + _tri_dot(wg, tril_exc)
 
         da = jnp.where(
             accept,
@@ -1176,8 +1233,8 @@ def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 32, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
         ],
     )
     return pl.pallas_call(
@@ -1214,9 +1271,9 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
+            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
             pltpu.VMEM((2, 32, chunk), jnp.float32),
-            pltpu.VMEM((2, 32, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -203,3 +203,31 @@ def test_packed_color_mode_gradients():
         lambda x: loss(x, PACKED._replace(outputs="color")))(g.xyz)
     np.testing.assert_allclose(np.asarray(g_col), np.asarray(g_full),
                                atol=1e-5)
+
+
+def test_packed_early_termination_parity():
+    """Saturating scene: every pixel hits the transmittance floor well
+    before its tile's pair list is exhausted, exercising the packed
+    forward's early-exit path and its in-flight-DMA drain (a stale
+    semaphore there corrupts the NEXT tile's reads on hardware)."""
+    cam = make_camera()
+    g = random_gaussians(n=768, seed=7)
+    # near-opaque, enlarged gaussians -> alpha saturates in the first
+    # chunk or two while counts stay high
+    g = g.replace(
+        opacity=jnp.full_like(g.opacity, 6.0),       # sigmoid -> 0.998
+        scaling=g.scaling + 1.5,
+    )
+    ref = rasterize(**_args(g, cam), settings=XLA)
+    pal = rasterize(**_args(g, cam), settings=PACKED)
+    assert float(np.asarray(pal["alpha"]).min()) > 0.95  # truly saturated
+    for k in ["color", "alpha", "depth", "normal"]:
+        np.testing.assert_allclose(
+            np.asarray(pal[k]), np.asarray(ref[k]), atol=2e-4, rtol=1e-3,
+            err_msg=f"{k} mismatch",
+        )
+    # the 2-pass tri-dot can flip the termination test on pixels sitting
+    # exactly at the transmittance floor -- allow off-by-one there
+    np.testing.assert_allclose(
+        np.asarray(pal["n_contrib"]), np.asarray(ref["n_contrib"]),
+        atol=1)
