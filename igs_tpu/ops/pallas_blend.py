@@ -981,6 +981,19 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     )
 
 
+def _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot, off, chunk):
+    """Async copy of tile tt's (32, chunk) grad block to its pair segment.
+
+    Reconstructed descriptors with the same semaphore are also used to
+    WAIT on a previously started copy (the wait consumes the semaphore
+    signal; src/dst only size the bookkeeping)."""
+    return pltpu.make_async_copy(
+        oscratch_ref.at[tt, oslot],
+        dout_hbm.at[:, pl.ds(pl.multiple_of(off, 128), chunk)],
+        osem_ref.at[tt, oslot],
+    )
+
+
 def _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk):
     """Index of the LAST chunk the backward pass must visit for tile tt
     (the forward's n_contrib early-termination skip), or -1 if none."""
@@ -1012,6 +1025,21 @@ def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             counts_ref, starts_ref, scalars_ref, feats_hbm, fwd_ref,
             cot_ref, dout_hbm, scratch_ref, oscratch_ref, sem_ref,
             osem_ref, chunk=chunk, tt=tt, mode=mode)
+    # drain: each tile's chunks 0 and 1 (its LAST two writes, reverse
+    # order) may still have output copies in flight
+    for tt in range(tiles_per_block):
+        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk)
+        start = starts_ref[t0 + tt]
+
+        @pl.when(c_start >= 0)
+        def _drain0(tt=tt, start=start):
+            _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, 0,
+                      start, chunk).wait()
+
+        @pl.when(c_start >= 1)
+        def _drain1(tt=tt, start=start):
+            _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, 1,
+                      start + chunk, chunk).wait()
 
 
 def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
@@ -1082,9 +1110,18 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         a = jnp.where(accept, alpha, 0.0)
         log1m = jnp.log1p(-a)
         # T-recovery subtracts this suffix from logT_final — catastrophic
-        # cancellation makes it the one tril dot that needs full f32
-        # (2-pass here measured 4× the grad error of the windowed path)
-        suffix_incl = jnp.dot(log1m, tril_inc, precision=HI)
+        # cancellation amplifies rounding here (2-pass measured 4× the
+        # windowed path's grad error), so split a THIRD residual level:
+        # err ~2^-26·|x|, finer than a single f32 rounding, at half the
+        # MXU passes of HIGHEST.
+        h1 = log1m.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = log1m - h1
+        h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        suffix_incl = (
+            jnp.dot(h1, tril_inc, precision=LO)
+            + jnp.dot(h2, tril_inc, precision=LO)
+            + jnp.dot(r1 - h2, tril_inc, precision=LO)
+        )
         logT_i = logT_end - suffix_incl
         t_i = jnp.exp(logT_i)
         w = jnp.where(accept, a * t_i, 0.0)
@@ -1181,18 +1218,22 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             ],
             axis=0,
         )  # (32, W)
-        # write out through the out-scratch; wait for the previous copy
-        # to release the buffer before overwriting it
+        # write out through this tile's out-scratch pair, double-buffered:
+        # before overwriting a slot, consume the semaphore of the copy
+        # started on it two chunks ago (chunk c+2, reverse order); the
+        # copies still in flight when the loop ends are drained at the
+        # END of the kernel (after all tiles), keeping the store latency
+        # off the critical path entirely.
         oslot = c % 2
-        oscratch_ref[oslot] = block
-        ocopy = pltpu.make_async_copy(
-            oscratch_ref.at[oslot],
-            dout_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, 128),
-                                 chunk)],
-            osem_ref.at[oslot],
-        )
-        ocopy.start()
-        ocopy.wait()
+
+        @pl.when(c + 2 <= c_start)
+        def _owait():
+            _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot,
+                      start + (c + 2) * chunk, chunk).wait()
+
+        oscratch_ref[tt, oslot] = block
+        _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot,
+                  start + c * chunk, chunk).start()
 
         s_next = s_carry + jnp.sum(wg, axis=1, keepdims=True)
         logT_next = logT_end - jnp.sum(
@@ -1272,9 +1313,9 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
             pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
-            pltpu.VMEM((2, 32, chunk), jnp.float32),
+            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((tpb, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
         ],
     )
     # pad segments the kernel never reaches (beyond each tile's n_contrib

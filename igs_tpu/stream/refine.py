@@ -230,26 +230,36 @@ def _scatter_rows(g: Gaussians, state_m, state_v, src_mask, make_row_fn, rng):
     num_src = jnp.sum(src_mask.astype(jnp.int32))
     n_add = jnp.minimum(num_free, num_src)
 
-    # destination slot for source-rank r = index of r-th free slot;
-    # out-of-bounds index n + mode="drop" drops non-taken/overflow rows.
-    free_idx = jnp.nonzero(free, size=n, fill_value=n - 1)[0]
+    # GATHER formulation: the r-th free slot pulls the r-th taken source
+    # row. TPU scatters are microcoded element loops (~9 ms per 150k-row
+    # scatter, 16 of them per densify = ~280 ms measured); the equivalent
+    # wide-row gather + where runs at memory speed.
     take = src_mask & (src_rank < n_add)
-    dest = jnp.where(take, free_idx[jnp.clip(src_rank, 0, n - 1)], n)
+    taken_idx = jnp.nonzero(take, size=n, fill_value=0)[0]
+    is_dest = free & (free_rank < n_add)
+    gidx = taken_idx[jnp.clip(free_rank, 0, n - 1)]  # per-slot source row
 
     new_rows = make_row_fn(g, rng)  # dict name → (N, ·) candidate rows
 
-    scatter = lambda arr, rows: arr.at[dest].set(rows, mode="drop")
+    def fill(arr, rows):
+        sel = is_dest.reshape((-1,) + (1,) * (arr.ndim - 1))
+        return jnp.where(sel, rows[gidx], arr)
+
     g2 = g.replace(
-        xyz=scatter(g.xyz, new_rows["xyz"]),
-        opacity=scatter(g.opacity, new_rows["opacity"]),
-        rotation=scatter(g.rotation, new_rows["rotation"]),
-        scaling=scatter(g.scaling, new_rows["scaling"]),
-        shs=scatter(g.shs, new_rows["shs"]),
-        valid=g.valid.at[dest].set(True, mode="drop"),
+        xyz=fill(g.xyz, new_rows["xyz"]),
+        opacity=fill(g.opacity, new_rows["opacity"]),
+        rotation=fill(g.rotation, new_rows["rotation"]),
+        scaling=fill(g.scaling, new_rows["scaling"]),
+        shs=fill(g.shs, new_rows["shs"]),
+        valid=g.valid | is_dest,
         # clones/splits inherit the source row's dynamic-region bit
-        mask=None if g.mask is None else scatter(g.mask, g.mask),
+        mask=None if g.mask is None else fill(g.mask, g.mask),
     )
-    zero = lambda arr: arr.at[dest].set(jnp.zeros_like(arr), mode="drop")
+
+    def zero(arr):
+        sel = is_dest.reshape((-1,) + (1,) * (arr.ndim - 1))
+        return jnp.where(sel, 0.0, arr)
+
     m2 = {k: zero(v) for k, v in state_m.items()}
     v2 = {k: zero(v) for k, v in state_v.items()}
     return g2, m2, v2, n_add

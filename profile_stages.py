@@ -90,7 +90,7 @@ def main():
     w2c[2, 3] = 5.0
     cam = Camera.from_w2c(w2c, 0.9, 0.9, height=res, width=res)
     settings = RasterSettings(
-        image_height=res, image_width=res, impl="pallas",
+        image_height=res, image_width=res, impl="pallas_packed",
         max_pairs=1 << 19, max_per_tile=1024, chunk=256,
         outputs="color", clamp_grads=False,
     )
@@ -118,6 +118,24 @@ def main():
             return fn
 
         results["refine/binning_s"] = scan_timeit(mk_binning, (proj.means2d,))
+
+        # ---- stage: packed-path pre-kernel work (aligned pair build +
+        # feature pack + (MPT, 32) row gather + transpose)
+        from igs_tpu.ops.binning import build_tile_pairs_aligned
+        from igs_tpu.ops.pallas_blend import pack_features
+
+        def mk_packed_bin():
+            def fn(m2d):
+                p = proj._replace(means2d=m2d)
+                pairs = build_tile_pairs_aligned(
+                    p, grid_x, grid_y, settings.max_pairs)
+                feats = pack_features(p)
+                pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]
+                return pair_feats.T, pairs.tile_start
+            return fn
+
+        results["refine/packed_binning_s"] = scan_timeit(
+            mk_packed_bin, (proj.means2d,))
 
         # ---- stage: full forward (project+binning+blend), color mode
         def mk_fwd():
