@@ -905,11 +905,12 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
 
         ones_row = jnp.ones((1, chunk), jnp.float32)
         f_cw = jnp.concatenate([ft[6:9, :], ones_row], axis=0)  # (4, W)
-        f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
-        f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
-        f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
-        f_n = jnp.concatenate(
-            [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
+        if mode != "color":  # lanes 9-23 absent from the 16-lane pack
+            f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
+            f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
+            f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
+            f_n = jnp.concatenate(
+                [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
 
         acc_cw = acc_cw + dotl(w, f_cw)
         slotf = slot_row.astype(jnp.float32)
@@ -1128,11 +1129,12 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
 
         ones_row = jnp.ones((1, chunk), jnp.float32)
         f_cw = jnp.concatenate([ft[6:9, :], ones_row], axis=0)
-        f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
-        f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
-        f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
-        f_n4 = jnp.concatenate(
-            [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
+        if mode != "color":  # lanes 9-23 absent from the 16-lane pack
+            f_cd_w = jnp.concatenate([ft[9:12, :], ft[12:13, :]], axis=0)
+            f_cd_x = jnp.concatenate([ft[13:16, :], ft[19:20, :]], axis=0)
+            f_cd_y = jnp.concatenate([ft[16:19, :], ft[20:21, :]], axis=0)
+            f_n4 = jnp.concatenate(
+                [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
 
         g = jnp.dot(uCW, f_cw, precision=HI)  # (P, W)
         if mode != "color":
@@ -1200,24 +1202,38 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         else:
             dnrm = jnp.zeros((3, chunk), jnp.float32)
 
-        block = jnp.concatenate(
-            [
-                dxy_x,               # 0:2
-                dxy_y,
-                dconic,              # 2:5
-                dop,                 # 5
-                dcolor,              # 6:9
-                dvp_t[0:3, :],       # 9:12
-                dvp_t[3:4, :],       # 12
-                dcpx_rp0[0:3, :],    # 13:16
-                dcpy_rp1[0:3, :],    # 16:19
-                dcpx_rp0[3:4, :],    # 19
-                dcpy_rp1[3:4, :],    # 20
-                dnrm,                # 21:24
-                jnp.zeros((8, chunk), jnp.float32),
-            ],
-            axis=0,
-        )  # (32, W)
+        if mode == "color":
+            # 16-lane pack: only geometry/opacity/color grads exist
+            block = jnp.concatenate(
+                [
+                    dxy_x,           # 0:2
+                    dxy_y,
+                    dconic,          # 2:5
+                    dop,             # 5
+                    dcolor,          # 6:9
+                    jnp.zeros((7, chunk), jnp.float32),
+                ],
+                axis=0,
+            )  # (16, W)
+        else:
+            block = jnp.concatenate(
+                [
+                    dxy_x,               # 0:2
+                    dxy_y,
+                    dconic,              # 2:5
+                    dop,                 # 5
+                    dcolor,              # 6:9
+                    dvp_t[0:3, :],       # 9:12
+                    dvp_t[3:4, :],       # 12
+                    dcpx_rp0[0:3, :],    # 13:16
+                    dcpy_rp1[0:3, :],    # 16:19
+                    dcpx_rp0[3:4, :],    # 19
+                    dcpy_rp1[3:4, :],    # 20
+                    dnrm,                # 21:24
+                    jnp.zeros((8, chunk), jnp.float32),
+                ],
+                axis=0,
+            )  # (32, W)
         # write out through this tile's out-scratch pair, double-buffered:
         # before overwriting a slot, consume the semaphore of the copy
         # started on it two chunks ago (chunk c+2, reverse order); the
@@ -1267,6 +1283,7 @@ def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
     """
     num_tiles = grid_x * grid_y
     chunk = 128  # == binning.PAIR_ALIGN; see docstring
+    lanes = feats_t.shape[0]  # 16 (color mode) or 32
     tpb = _packed_tpb(num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1274,7 +1291,7 @@ def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
+            pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((tpb, 2)),
         ],
     )
@@ -1300,6 +1317,7 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
     feats_t, counts, starts, scalars, fwd_out = res
     num_tiles = grid_x * grid_y
     chunk = 128
+    lanes = feats_t.shape[0]  # 16 (color mode) or 32
     tpb = _packed_tpb(num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1312,8 +1330,8 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
-            pltpu.VMEM((tpb, 2, 32, chunk), jnp.float32),
+            pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
+            pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((tpb, 2)),
             pltpu.SemaphoreType.DMA((tpb, 2)),
         ],
@@ -1358,8 +1376,13 @@ def render_tiles_pallas_packed(
     grid_x = (width + TILE_X - 1) // TILE_X
     grid_y = (height + TILE_Y - 1) // TILE_Y
     feats = pack_features(proj)  # (N, 32)
-    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MPT, 32)
-    feats_t = pair_feats.T  # (32, MPT) — lanes = pairs
+    if mode == "color":
+        # color mode reads only lanes 0-8 (geometry+opacity+color) and
+        # writes grads only there — a 16-lane pack halves the pair
+        # gather, the kernel DMA traffic, and the AD scatter-add
+        feats = feats[:, :16]
+    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MPT, lanes)
+    feats_t = pair_feats.T  # (lanes, MPT) — lanes = pairs
     scalars = jnp.concatenate(
         [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)]
     )
