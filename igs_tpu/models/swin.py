@@ -15,6 +15,7 @@ trace time from (h, w, splits).
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -43,6 +44,14 @@ def position_embedding_sine(h: int, w: int, num_pos_feats: int = 64,
     return np.concatenate([pos_y, pos_x], axis=2).transpose(2, 0, 1)
 
 
+def _use_flash_window(window_len: int) -> bool:
+    """Flash attention for window attention on real TPUs (see
+    transformer1d._use_flash; IGS_TPU_NO_FLASH=1 forces the XLA path)."""
+    if os.environ.get("IGS_TPU_NO_FLASH"):
+        return False
+    return window_len >= 256 and jax.default_backend() == "tpu"
+
+
 def split_feature(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
     """(B, H, W, C) → (B·K·K, H/K, W/K, C), utils.py:34-59 channel_last."""
     b, h, w, c = x.shape
@@ -61,12 +70,11 @@ def merge_splits(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=16)
-def shift_window_attn_mask(h: int, w: int, window_h: int, window_w: int,
-                           shift_h: int, shift_w: int) -> np.ndarray:
-    """(K², L, L) additive mask, −100 across region boundaries.
-
-    Parity: generate_shift_window_attn_mask (utils.py:84-108).
-    """
+def shift_window_region_ids(h: int, w: int, window_h: int, window_w: int,
+                            shift_h: int, shift_w: int) -> np.ndarray:
+    """(K², L) per-token region id in the ROLLED layout; only same-id
+    pairs may attend (the 9-region swin boundary structure,
+    utils.py:84-108)."""
     img_mask = np.zeros((1, h, w, 1), np.float32)
     cnt = 0
     for hs in (slice(0, -window_h), slice(-window_h, -shift_h), slice(-shift_h, None)):
@@ -75,7 +83,16 @@ def shift_window_attn_mask(h: int, w: int, window_h: int, window_w: int,
             cnt += 1
     k = w // window_w
     m = img_mask.reshape(1, h // window_h, window_h, k, window_w, 1)
-    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_h * window_w)
+    return m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_h * window_w)
+
+
+def shift_window_attn_mask(h: int, w: int, window_h: int, window_w: int,
+                           shift_h: int, shift_w: int) -> np.ndarray:
+    """(K², L, L) additive mask, −100 across region boundaries.
+
+    Parity: generate_shift_window_attn_mask (utils.py:84-108).
+    """
+    m = shift_window_region_ids(h, w, window_h, window_w, shift_h, shift_w)
     attn = m[:, None, :] - m[:, :, None]
     return np.where(attn != 0, -100.0, 0.0).astype(np.float32)
 
@@ -99,6 +116,44 @@ def window_attention(q, k, v, num_splits: int, h: int, w: int,
         return x.reshape(b * num_splits * num_splits, wh * ww, c)
 
     qs, ks, vs = prep(q), prep(k), prep(v)
+    Lw = wh * ww
+    if _use_flash_window(Lw):
+        # Fused online-softmax kernel: the XLA path materializes
+        # (B·K², L, L) f32 scores — ~5 GB of HBM round-trips per
+        # attention at the production (320, 1024, 1024) shape, which is
+        # the whole cost of the 6-layer feature transformer. The swin
+        # shift mask is a segment-equality mask (attend only within the
+        # same boundary region), so it maps to flash segment_ids with
+        # ZERO extra traffic instead of an additive bias tensor.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, SegmentIds, flash_attention)
+
+        bq = min(512, Lw)
+        bk = min(512, Lw)
+        bkM = min(1024, Lw)
+        bs = BlockSizes(
+            block_q=bq, block_k_major=bkM, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkM,
+            block_q_dkv=bq, block_k_dkv=bk,
+            block_q_dq=bq, block_k_dq=bkM, block_k_major_dq=bkM,
+        )
+        seg = None
+        if with_shift:
+            ids = jnp.tile(
+                jnp.asarray(
+                    shift_window_region_ids(h, w, wh, ww, sh, sw),
+                    jnp.int32,
+                ),
+                (b, 1),
+            )  # (B·K², L)
+            seg = SegmentIds(q=ids, kv=ids)
+        out = flash_attention(
+            qs[:, None], ks[:, None], vs[:, None], segment_ids=seg,
+            sm_scale=1.0 / (c ** 0.5), block_sizes=bs)[:, 0]
+        out = merge_splits(out.reshape(-1, wh, ww, c), num_splits)
+        if with_shift:
+            out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        return out.reshape(b, L, c)
     scores = jnp.einsum("blc,bmc->blm", qs, ks) / (c ** 0.5)
     if with_shift:
         mask = jnp.asarray(
