@@ -91,6 +91,7 @@ def project(
     kernel_size: float = 0.0,
     scale_modifier: float = 1.0,
     valid: jnp.ndarray | None = None,
+    geometry: bool = True,
 ) -> ProjectedGaussians:
     n = means3d.shape[0]
     f32 = jnp.float32
@@ -157,6 +158,111 @@ def project(
     coef = jnp.where((raw_det0 <= 1e-6) | (raw_det1 <= 1e-6), 0.0, coef)
 
     # --- RaDe-GS geometry extras (forward.cu:135-262) ---------------------
+    # Skipped in color-only rendering (``geometry=False``): the 16-lane
+    # color pack never reads camera/ray planes or normals, so this whole
+    # chain — and its AD transpose in the refine backward — is dead there.
+    if geometry:
+        camera_plane, ray_plane, normal = _geometry_extras(
+            rotation, scaling, scale_modifier, r_view, txtz, tytz,
+            tx, ty, tz, inv_tz, inv_tz2, fx, fy)
+    else:
+        camera_plane = jnp.zeros((n, 6), f32)
+        ray_plane = jnp.zeros((n, 2), f32)
+        normal = jnp.zeros((n, 3), f32)
+
+    # --- conic, radius, tile rect (forward.cu:384-422) ---------------------
+    det = raw_det0
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([a_yy * det_inv, -a_xy * det_inv, a_xx * det_inv], -1)
+
+    mid = 0.5 * (a_xx + a_yy)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    sqrt_l1 = jnp.sqrt(jnp.maximum(mid + disc, mid - disc))
+    radius_f = jnp.ceil(3.0 * sqrt_l1)
+
+    # Opacity-aware tile rect (EXACT culling): the blend kernels skip any
+    # contribution with alpha < 1/255 (forward.cu:499 / _MIN_ALPHA in
+    # pallas_blend), and alpha ≤ o_eff·exp(-d²/(2λ₁)) at pixel distance d,
+    # so pixels beyond d* = √(2·ln(255·o_eff))·√λ₁ can never pass the skip
+    # — in the forward OR the backward (backward.cu:635 re-applies it).
+    # Binning rects shrink to min(3σ, d*); the reported radius / visible
+    # flag keep the reference's 3σ semantics (they feed densify stats and
+    # visibility masks, not the blend).
+    o_eff = opacity * coef
+    ln_t = jnp.log(255.0 * jnp.maximum(o_eff, 1e-12))
+    aware_f = jnp.ceil(jnp.sqrt(2.0 * jnp.maximum(ln_t, 0.0)) * sqrt_l1)
+    rect_radius = jnp.minimum(radius_f, aware_f)
+    dead = o_eff < 1.0 / 255.0  # can never reach the alpha skip anywhere
+
+    def ndc2pix(x, size):
+        return ((x + 1.0) * size - 1.0) * 0.5
+
+    px = ndc2pix(p_proj[:, 0], w)
+    py = ndc2pix(p_proj[:, 1], h)
+    means2d = jnp.stack([px, py], -1)
+
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
+
+    # getRect (auxiliary.h:62-72): int truncation of possibly-negative
+    # floats matches CUDA's (int) cast (toward zero) then clamp at 0.
+    def tile_rect(rf):
+        xmin = jnp.clip(((px - rf) / TILE_X).astype(jnp.int32), 0, grid_x)
+        ymin = jnp.clip(((py - rf) / TILE_Y).astype(jnp.int32), 0, grid_y)
+        xmax = jnp.clip(
+            ((px + rf + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x
+        )
+        ymax = jnp.clip(
+            ((py + rf + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y
+        )
+        return xmin, ymin, xmax, ymax
+
+    rxmin, rymin, rxmax, rymax = tile_rect(rect_radius)
+    rxmax = jnp.where(dead, rxmin, rxmax)
+    rymax = jnp.where(dead, rymin, rymax)
+    tiles = (rxmax - rxmin) * (rymax - rymin)
+
+    # visibility uses the 3σ rect like the reference (forward.cu:408-412)
+    x0, y0, x1, y1 = tile_rect(radius_f)
+    tiles3 = (x1 - x0) * (y1 - y0)
+    visible = in_front & det_ok & (tiles3 > 0)
+    if valid is not None:
+        visible = visible & valid
+
+    # --- color -------------------------------------------------------------
+    if colors_precomp is not None:
+        color = colors_precomp.astype(f32)
+    else:
+        color, _ = eval_sh_color(
+            shs.astype(f32), means3d, camera.camera_center, sh_degree
+        )
+
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    tiles = jnp.where(visible, tiles, 0)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        conic=conic,
+        opacity=opacity * coef,
+        color=color,
+        depth=p_view[:, 2],
+        view_point=p_view,
+        t_center=safe_norm(p_view),
+        camera_plane=camera_plane,
+        ray_plane=ray_plane,
+        normal=normal,
+        radius=radius,
+        rect_min=jnp.stack([rxmin, rymin], -1),
+        rect_max=jnp.stack([rxmax, rymax], -1),
+        tiles_touched=tiles,
+        visible=visible,
+    )
+
+
+def _geometry_extras(rotation, scaling, scale_modifier, r_view, txtz, tytz,
+                     tx, ty, tz, inv_tz, inv_tz2, fx, fy):
+    """Camera/ray plane + normal chain (forward.cu:135-262), full mode only."""
     # Vrk⁻¹ analytically: Σ = R S² Rᵀ → Σ⁻¹ = R S⁻² Rᵀ; ill-conditioned
     # (λmin ≤ 1e-8) → rank-1 outer product of the min-scale axis.
     r_mat = quat_to_rotmat(rotation, normalize=False)  # columns = axes
@@ -218,70 +324,4 @@ def project(
     camera_plane = jnp.where(geom_ok[:, None], camera_plane, 0.0)
     ray_plane = jnp.where(geom_ok[:, None], ray_plane, 0.0)
     normal = jnp.where(geom_ok[:, None], normal, zero3)
-
-    # --- conic, radius, tile rect (forward.cu:384-422) ---------------------
-    det = raw_det0
-    det_ok = det != 0.0
-    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-    conic = jnp.stack([a_yy * det_inv, -a_xy * det_inv, a_xx * det_inv], -1)
-
-    mid = 0.5 * (a_xx + a_yy)
-    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    lambda1 = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
-
-    def ndc2pix(x, size):
-        return ((x + 1.0) * size - 1.0) * 0.5
-
-    px = ndc2pix(p_proj[:, 0], w)
-    py = ndc2pix(p_proj[:, 1], h)
-    means2d = jnp.stack([px, py], -1)
-
-    grid_x = (w + TILE_X - 1) // TILE_X
-    grid_y = (h + TILE_Y - 1) // TILE_Y
-    # getRect (auxiliary.h:62-72): int truncation of possibly-negative
-    # floats matches CUDA's (int) cast (toward zero) then clamp at 0.
-    rxmin = jnp.clip(
-        ((px - radius_f) / TILE_X).astype(jnp.int32), 0, grid_x
-    )
-    rymin = jnp.clip(((py - radius_f) / TILE_Y).astype(jnp.int32), 0, grid_y)
-    rxmax = jnp.clip(
-        ((px + radius_f + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x
-    )
-    rymax = jnp.clip(
-        ((py + radius_f + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y
-    )
-    tiles = (rxmax - rxmin) * (rymax - rymin)
-
-    visible = in_front & det_ok & (tiles > 0)
-    if valid is not None:
-        visible = visible & valid
-
-    # --- color -------------------------------------------------------------
-    if colors_precomp is not None:
-        color = colors_precomp.astype(f32)
-    else:
-        color, _ = eval_sh_color(
-            shs.astype(f32), means3d, camera.camera_center, sh_degree
-        )
-
-    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    tiles = jnp.where(visible, tiles, 0)
-
-    return ProjectedGaussians(
-        means2d=means2d,
-        conic=conic,
-        opacity=opacity * coef,
-        color=color,
-        depth=p_view[:, 2],
-        view_point=p_view,
-        t_center=safe_norm(p_view),
-        camera_plane=camera_plane,
-        ray_plane=ray_plane,
-        normal=normal,
-        radius=radius,
-        rect_min=jnp.stack([rxmin, rymin], -1),
-        rect_max=jnp.stack([rxmax, rymax], -1),
-        tiles_touched=tiles,
-        visible=visible,
-    )
+    return camera_plane, ray_plane, normal

@@ -82,6 +82,9 @@ def _rasterize_impl(
         kernel_size=settings.kernel_size,
         scale_modifier=settings.scale_modifier,
         valid=valid,
+        # color-only rendering never reads camera/ray planes or normals —
+        # skip their whole chain (and its AD transpose in the backward)
+        geometry=settings.outputs != "color",
     )
     if means2d_offset is not None:
         # NDC offset → pixel offset (ndc2Pix is affine with slope S/2)
@@ -296,6 +299,7 @@ def count_gaussians(
         kernel_size=settings.kernel_size,
         scale_modifier=settings.scale_modifier,
         valid=valid,
+        geometry=False,  # counting reads only conic/opacity
     )
     h, w = settings.image_height, settings.image_width
     grid_x, grid_y = image_tile_grid(h, w)
@@ -327,6 +331,7 @@ def count_gaussians_dense(
         kernel_size=settings.kernel_size,
         scale_modifier=settings.scale_modifier,
         valid=valid,
+        geometry=False,  # counting reads only conic/opacity
     )
     h, w = settings.image_height, settings.image_width
 
