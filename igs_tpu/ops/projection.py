@@ -218,13 +218,30 @@ def project(
         )
         return xmin, ymin, xmax, ymax
 
-    rxmin, rymin, rxmax, rymax = tile_rect(rect_radius)
-    rxmax = jnp.where(dead, rxmin, rxmax)
-    rymax = jnp.where(dead, rymin, rymax)
+    # The 3σ rect uses the reference formula verbatim — including its
+    # quantization quirk: ``(p + r + 15)/16`` as the exclusive max drops
+    # the topmost pixel column whenever frac(p + r) < 1, so it can clip a
+    # still-contributing boundary pixel. Reproducing that bit-for-bit is
+    # parity; the AWARE rect must instead be strictly conservative (its
+    # radius is tight, there is no ceil slack to hide in), so its max side
+    # rounds outward (+TILE) and the result intersects with the 3σ rect —
+    # never covering more than the reference, never less than the support.
+    x0, y0, x1, y1 = tile_rect(radius_f)
+    ax_max = jnp.clip(
+        ((px + rect_radius + TILE_X) / TILE_X).astype(jnp.int32), 0, grid_x)
+    ay_max = jnp.clip(
+        ((py + rect_radius + TILE_Y) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    ax_min = jnp.clip(((px - rect_radius) / TILE_X).astype(jnp.int32), 0, grid_x)
+    ay_min = jnp.clip(((py - rect_radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rxmin = jnp.maximum(x0, ax_min)
+    rymin = jnp.maximum(y0, ay_min)
+    rxmax = jnp.minimum(x1, ax_max)
+    rymax = jnp.minimum(y1, ay_max)
+    rxmax = jnp.where(dead, rxmin, jnp.maximum(rxmax, rxmin))
+    rymax = jnp.where(dead, rymin, jnp.maximum(rymax, rymin))
     tiles = (rxmax - rxmin) * (rymax - rymin)
 
     # visibility uses the 3σ rect like the reference (forward.cu:408-412)
-    x0, y0, x1, y1 = tile_rect(radius_f)
     tiles3 = (x1 - x0) * (y1 - y0)
     visible = in_front & det_ok & (tiles3 > 0)
     if valid is not None:

@@ -223,7 +223,7 @@ def main():
         }
         agm_settings = settings._replace(clamp_grads=True, outputs="color")
         depth_settings = agm_settings._replace(
-            image_height=256, image_width=256,
+            image_height=128, image_width=128,
             max_pairs=1 << 18, max_per_tile=512, outputs="color_depth")
         params = jax.jit(lambda r: model.init(
             r, batch, astate, gb, agm_settings,
@@ -332,7 +332,8 @@ def main():
                             c2w_, (fx, fy),
                             (depth_settings.image_height,
                              depth_settings.image_width)))(c2ws[1:])
-                    outd = render_views(gdef, camsd, bg, depth_settings)
+                    outd = render_views(gdef, camsd, bg, depth_settings,
+                                        parallel=True)
                     return out0["images_pred"], outd["depth_pred"]
 
                 return jax.vmap(render_split)(

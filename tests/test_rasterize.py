@@ -374,3 +374,76 @@ class TestOverflowSurfacing:
         out = rasterize(**_raster_args(g, camera64), settings=s)
         # global pair overflow sets the high bit (1<<20)
         assert int(out["overflow_tiles"]) >= (1 << 20)
+
+
+class TestOpacityAwareCulling:
+    """The shrunk (alpha ≥ 1/255 support) tile rects must be EXACTLY
+    output- and gradient-equivalent to the reference's 3σ rects — any
+    pixel they exclude fails the blend kernels' _MIN_ALPHA skip anyway."""
+
+    @staticmethod
+    def _widen_to_3sigma(proj, width, height):
+        """Recompute rects from the reported (3σ) radius, undoing culling."""
+        from igs_tpu.ops.projection import TILE_X, TILE_Y
+        gx = (width + TILE_X - 1) // TILE_X
+        gy = (height + TILE_Y - 1) // TILE_Y
+        px, py = proj.means2d[:, 0], proj.means2d[:, 1]
+        rf = proj.radius.astype(jnp.float32)
+        rxmin = jnp.clip(((px - rf) / TILE_X).astype(jnp.int32), 0, gx)
+        rymin = jnp.clip(((py - rf) / TILE_Y).astype(jnp.int32), 0, gy)
+        rxmax = jnp.clip(
+            ((px + rf + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, gx)
+        rymax = jnp.clip(
+            ((py + rf + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, gy)
+        return proj._replace(
+            rect_min=jnp.stack([rxmin, rymin], -1),
+            rect_max=jnp.stack([rxmax, rymax], -1),
+            tiles_touched=jnp.where(
+                proj.visible, (rxmax - rxmin) * (rymax - rymin), 0),
+        )
+
+    def _render_pair(self, raw_opacity_shift):
+        """Render a low-opacity scene with culled vs widened rects."""
+        from igs_tpu.ops.raster_ref import render_reference
+
+        cam = make_camera()
+        g = random_gaussians(n=192, seed=7)
+        # push opacities low: sigmoid(U(-1,3) + shift); shift=-6 puts many
+        # below 1/255 (the dead path), shift=-2 in the shrink regime
+        g = g.replace(opacity=g.opacity + raw_opacity_shift)
+
+        def render(xyz, opac, widen):
+            proj = project(xyz, g.get_scaling, g.get_rotation,
+                           jax.nn.sigmoid(opac).reshape(-1), cam, shs=g.shs)
+            if widen:
+                proj = self._widen_to_3sigma(proj, 64, 64)
+            return render_reference(proj, 64, 64, cam.focal_x, cam.focal_y,
+                                    jnp.zeros(3))
+
+        return g, render
+
+    @pytest.mark.parametrize("shift", [-2.0, -6.0])
+    def test_outputs_exact(self, shift):
+        g, render = self._render_pair(shift)
+        culled = render(g.xyz, g.opacity, False)
+        wide = render(g.xyz, g.opacity, True)
+        # culling shrinks coverage only where alpha < 1/255 → identical
+        for k in ["color", "alpha", "depth", "mdepth", "normal"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(culled, k)), np.asarray(getattr(wide, k)),
+                err_msg=f"culling changed output {k}")
+
+    @pytest.mark.parametrize("shift", [-2.0, -6.0])
+    def test_grads_exact(self, shift):
+        g, render = self._render_pair(shift)
+
+        def loss(xyz, opac, widen):
+            out = render(xyz, opac, widen)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+
+        gc = jax.grad(loss, argnums=(0, 1))(g.xyz, g.opacity, False)
+        gw = jax.grad(loss, argnums=(0, 1))(g.xyz, g.opacity, True)
+        for a, b, name in [(gc[0], gw[0], "xyz"), (gc[1], gw[1], "opacity")]:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"culling changed {name} grads")
