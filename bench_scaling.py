@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--anchors", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--force-cpu", action="store_true")
+    ap.add_argument("--what", default="train", choices=["train", "refine",
+                                                        "all"])
     ap.add_argument("--out", default="bench_scaling.json")
     args = ap.parse_args()
 
@@ -106,6 +108,67 @@ def main():
     cfg = OptConfig(warmup_steps=1)
     results = {}
     base_per_dev = None
+
+    if args.what in ("refine", "all"):
+        # strong scaling of the key-frame refine loop: FIXED image/scene,
+        # render+backward strip-sharded over the tile axis
+        # (stream/refine.py refine_run_sharded) — the streaming window's
+        # dominant block.
+        from igs_tpu.core.camera import Camera
+        from igs_tpu.stream.refine import (
+            RefineConfig, init_refine_state, refine_run, refine_run_sharded,
+        )
+
+        res = max(hw, 64)
+        _, _, gb1 = make_inputs(1)
+        g1 = jax.tree.map(lambda x: x[0], gb1)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[2, 3] = 4.0
+        cam = Camera.from_w2c(w2c, 0.9, 0.9, height=res, width=res)
+        cams = jax.tree.map(lambda *x: jnp.stack(x), *[cam, cam])
+        gts = jnp.asarray(rng.uniform(0, 1, (2, 3, res, res)), jnp.float32)
+        riters = 10
+        order = jnp.asarray(np.arange(riters) % 2, jnp.int32)
+        rcfg = RefineConfig()
+        rset = RasterSettings(
+            image_height=res, image_width=res,
+            impl="pallas_packed", max_pairs=1 << 17, outputs="color",
+            clamp_grads=False,
+            pallas_interpret=jax.default_backend() != "tpu",
+        )
+        state0 = init_refine_state(g1, capacity=n)
+        rcounts = [c for c in counts if (res // 16) % c == 0]
+        base = None
+        for c in rcounts:
+            if c == 1:
+                fn = jax.jit(lambda st: refine_run(
+                    st, cams, gts, order, jnp.zeros(3), rcfg, rset,
+                    jnp.float32(3.0), riters))
+            else:
+                mesh = make_mesh(data=1, tile=c, devices=devices[:c])
+                fn = jax.jit(lambda st, m=mesh: refine_run_sharded(
+                    st, cams, gts, order, jnp.zeros(3), rcfg, rset,
+                    jnp.float32(3.0), riters, m))
+            out = fn(state0)
+            jax.block_until_ready(out.gaussians.xyz)
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.time()
+                jax.block_until_ready(fn(state0).gaussians.xyz)
+                ts.append(time.time() - t0)
+            sec = float(np.median(ts)) / riters
+            base = sec if base is None else base
+            results[f"refine_{c}"] = {
+                "sec_per_iter": sec,
+                "speedup": base / sec,
+                "efficiency": base / sec / c,
+            }
+            print(f"refine x{c}", results[f"refine_{c}"])
+
+    if args.what == "refine":
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        return
 
     for c in counts:
         b = c  # one scene per device — fixed per-device work

@@ -102,6 +102,8 @@ def build_stream_configs(
         max_num=int(opt.get("max_num", 150_000)),
         free_view=bool(opt.get("free_view", False)),
         workspace=str(opt.get("workspace", "logs/igs_tpu/stream")),
+        data_parallel=int(opt.get("data_parallel", 1)),
+        refine_parallel=int(opt.get("refine_parallel", 1)),
     )
     refine = RefineConfig(
         position_lr=float(lrs.get("position_lr_init", 0.0016)),

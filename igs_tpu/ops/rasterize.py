@@ -69,6 +69,7 @@ def _rasterize_impl(
     camera,
     settings: RasterSettings,
     valid,
+    strip_row0=None,
 ):
     proj = project(
         means3d,
@@ -93,6 +94,28 @@ def _rasterize_impl(
             dtype=jnp.float32,
         )
         proj = proj._replace(means2d=proj.means2d + means2d_offset * scale[None, :])
+
+    if strip_row0 is not None:
+        # Tile-row strip rendering (cross-chip image sharding): the camera
+        # is the FULL image's; settings.image_height is the strip height.
+        # Shift projection into strip-local pixel space — the gaussian/tile
+        # pair sets decompose exactly by tile row, and conic/depth/color
+        # are translation-invariant, so a strip render equals the matching
+        # rows of the full render (test_sharding.py::test_strip_rows).
+        from igs_tpu.ops.projection import TILE_Y
+
+        rows_local = settings.image_height // TILE_Y
+        row0px = (strip_row0 * TILE_Y).astype(jnp.float32)
+        rymin = jnp.clip(proj.rect_min[:, 1] - strip_row0, 0, rows_local)
+        rymax = jnp.clip(proj.rect_max[:, 1] - strip_row0, 0, rows_local)
+        tiles = (proj.rect_max[:, 0] - proj.rect_min[:, 0]) * (rymax - rymin)
+        proj = proj._replace(
+            means2d=proj.means2d
+            - jnp.stack([jnp.zeros_like(row0px), row0px])[None, :],
+            rect_min=jnp.stack([proj.rect_min[:, 0], rymin], -1),
+            rect_max=jnp.stack([proj.rect_max[:, 0], rymax], -1),
+            tiles_touched=jnp.where(proj.visible, tiles, 0),
+        )
 
     h, w = settings.image_height, settings.image_width
     fx, fy = camera.focal_x, camera.focal_y
@@ -174,6 +197,7 @@ def rasterize(
     means2d_offset: Optional[jnp.ndarray] = None,
     valid: Optional[jnp.ndarray] = None,
     settings: RasterSettings = RasterSettings(),
+    strip_row0=None,
 ) -> dict:
     """Render; returns the reference 8-tuple as a dict plus radii.
 
@@ -187,6 +211,12 @@ def rasterize(
         raise ValueError("provide exactly one of shs / colors_precomp")
 
     if settings.clamp_grads:
+        if strip_row0 is not None:
+            # custom_vjp can't carry the shard_map-traced row offset
+            # (full_lower not implemented on ShardMapTracer); the strip
+            # path is only used by the refine loop, which is plain.
+            raise NotImplementedError(
+                "strip_row0 requires clamp_grads=False")
         render = _rasterize_clamped
     else:
         render = _rasterize_plain
@@ -202,6 +232,7 @@ def rasterize(
         camera,
         settings,
         valid,
+        strip_row0,
     )
     return {
         "overflow_tiles": overflow,
@@ -219,20 +250,20 @@ def rasterize(
 
 def _rasterize_plain(
     means3d, opacity, scaling, rotation, shs, colors_precomp,
-    means2d_offset, bg, camera, settings, valid,
+    means2d_offset, bg, camera, settings, valid, strip_row0=None,
 ):
     out, proj, overflow = _rasterize_impl(
         means3d, opacity, scaling, rotation, shs, colors_precomp,
-        means2d_offset, bg, camera, settings, valid,
+        means2d_offset, bg, camera, settings, valid, strip_row0,
     )
     return out, jax.lax.stop_gradient(proj.radius), \
         jax.lax.stop_gradient(overflow)
 
 
 def _clamped_core(settings, args):
-    m3, op, sc, ro, sh, cp, m2o, bg, camera, valid = args
+    m3, op, sc, ro, sh, cp, m2o, bg, camera, valid, strip_row0 = args
     out, proj, overflow = _rasterize_impl(
-        m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid
+        m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid, strip_row0
     )
     return out, jax.lax.stop_gradient(proj.radius), \
         jax.lax.stop_gradient(overflow)
@@ -263,14 +294,14 @@ _clamped_call.defvjp(_clamped_fwd, _clamped_bwd)
 
 def _rasterize_clamped(
     means3d, opacity, scaling, rotation, shs, colors_precomp,
-    means2d_offset, bg, camera, settings, valid,
+    means2d_offset, bg, camera, settings, valid, strip_row0=None,
 ):
     """Clamp-variant: param grads clamped to ±15 (means2d/colors exempt,
     matching …_rade_clamp/__init__.py:156-162)."""
     return _clamped_call(
         settings,
         (means3d, opacity, scaling, rotation, shs, colors_precomp,
-         means2d_offset, bg, camera, valid),
+         means2d_offset, bg, camera, valid, strip_row0),
     )
 
 

@@ -60,6 +60,10 @@ class StreamConfig:
     # shard the candidate-frame batch over this many chips (the ``data``
     # mesh axis); 1 = single-device. eval_batch_size must be divisible.
     data_parallel: int = 1
+    # shard the key-frame refine render over this many chips (image
+    # tile-row strips, the ``tile`` mesh axis); 1 = single-device. The
+    # image's tile-row count must be divisible.
+    refine_parallel: int = 1
 
 
 class StreamingPipeline:
@@ -214,13 +218,31 @@ class StreamingPipeline:
         view_order = jnp.asarray(order[: cfg.refine_iterations], jnp.int32)
 
         if not hasattr(self, "_refine_run_jit"):
-            self._refine_run_jit = jax.jit(
-                lambda st, cm, g, vo, ext: refine_run(
-                    st, cm, g, vo, bg, self.refine_cfg,
-                    self.refine_settings, ext, cfg.refine_iterations,
-                ),
-                donate_argnums=(0,),
-            )
+            if cfg.refine_parallel > 1:
+                # multi-chip refine: strip-shard the render/backward over
+                # the tile axis (stream/refine.py refine_run_sharded)
+                from igs_tpu.parallel.mesh import make_mesh
+                from igs_tpu.stream.refine import refine_run_sharded
+
+                rmesh = make_mesh(
+                    data=1, tile=cfg.refine_parallel,
+                    devices=jax.devices()[:cfg.refine_parallel])
+                self._refine_run_jit = jax.jit(
+                    lambda st, cm, g, vo, ext: refine_run_sharded(
+                        st, cm, g, vo, bg, self.refine_cfg,
+                        self.refine_settings, ext, cfg.refine_iterations,
+                        rmesh,
+                    ),
+                    donate_argnums=(0,),
+                )
+            else:
+                self._refine_run_jit = jax.jit(
+                    lambda st, cm, g, vo, ext: refine_run(
+                        st, cm, g, vo, bg, self.refine_cfg,
+                        self.refine_settings, ext, cfg.refine_iterations,
+                    ),
+                    donate_argnums=(0,),
+                )
         state = self._refine_run_jit(
             state, cameras, gts, view_order, jnp.float32(radius)
         )

@@ -115,10 +115,22 @@ def init_refine_state(
     )
 
 
-def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings):
+def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings,
+                    strip_row0=None, axis_name=None):
+    """Loss + grads; optionally with the render sharded over image tile-rows.
+
+    Sharded mode (``axis_name`` set, inside shard_map): each device renders
+    its strip (``strip_row0``), the full image is re-assembled with
+    all_gather for the (windowed, strip-crossing) SSIM, and the per-device
+    partial parameter grads are psum'd. The per-device loss is divided by
+    the shard count before AD — every device differentiates the SAME full
+    loss, so the all_gather transpose (a psum-scatter of the n identical
+    cotangents) would otherwise scale grads by n.
+    """
     params = {k: getattr(gaussians, k) for k in TRAINABLE}
     n = gaussians.num_capacity
     m2o = jnp.zeros((n, 2), jnp.float32)
+    nsh = 1 if axis_name is None else jax.lax.psum(1, axis_name)
 
     def loss_fn(params, m2o):
         g = gaussians.replace(**params)
@@ -133,18 +145,28 @@ def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings):
             means2d_offset=m2o,
             valid=g.valid,
             settings=settings,
+            strip_row0=strip_row0,
         )
         img = out["color"]
+        if axis_name is not None:
+            strips = jax.lax.all_gather(img, axis_name)  # (nsh, 3, hs, W)
+            img = jnp.moveaxis(strips, 0, 1).reshape(
+                img.shape[0], -1, img.shape[-1])
         s, _ = ssim(img, gt_image)
         loss = cfg.lambda_l1 * l1_loss(img, gt_image) + (1 - cfg.lambda_l1) * (
             1.0 - s
         )
         mse = jnp.mean((img - gt_image) ** 2)
-        return loss, (out["radii"], mse, out["overflow_tiles"])
+        return loss / nsh, (out["radii"], mse, out["overflow_tiles"])
 
     (loss, (radii, mse, overflow)), (grads, g_m2o) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(params, m2o)
+    if axis_name is not None:
+        loss = loss * nsh  # report the true (undivided) loss
+        grads = jax.lax.psum(grads, axis_name)
+        g_m2o = jax.lax.psum(g_m2o, axis_name)
+        overflow = jax.lax.psum(overflow, axis_name)
     return loss, grads, g_m2o, radii, mse, overflow
 
 
@@ -156,11 +178,13 @@ def refine_step(
     cfg: RefineConfig,
     settings: RasterSettings,
     do_densify_stats: bool = True,
+    strip_row0=None,
+    axis_name=None,
 ):
     """One optimization iteration (infer_batch.py:279-324, minus densify)."""
     g = state.gaussians
     loss, grads, g_m2o, radii, mse, overflow = _loss_and_grads(
-        g, camera, gt_image, bg, cfg, settings
+        g, camera, gt_image, bg, cfg, settings, strip_row0, axis_name
     )
 
     # gradient gating: dead rows, frozen groups, (optionally) static region
@@ -397,6 +421,83 @@ def refine_run(
         return st
 
     return jax.lax.fori_loop(0, iters, body, state)
+
+
+def refine_run_sharded(
+    state: RefineState,
+    cameras: Camera,
+    gt_images: jnp.ndarray,  # (V, 3, H, W) — FULL-resolution GTs
+    view_order: jnp.ndarray,
+    bg: jnp.ndarray,
+    cfg: RefineConfig,
+    settings: RasterSettings,  # full-image settings
+    extent,
+    iters: int,
+    mesh,
+    axis: str = "tile",
+) -> RefineState:
+    """refine_run with the render + backward sharded over image tile-rows.
+
+    The refine loop is the dominant block of the streaming window; its
+    rasterization decomposes exactly by tile row (strip_row0 mode of
+    ``rasterize``), so chip d renders/backprops rows [d·H/n, (d+1)·H/n),
+    the strips are all_gather'd for the strip-crossing SSIM window, and
+    parameter grads are psum'd. State stays replicated: every device
+    applies the identical psum'd update (and the identical densify —
+    same rng, same grads), so no re-sync is ever needed. Output and
+    per-step updates match single-device ``refine_run`` to reduction
+    order (test_sharding.py::TestShardedRefine).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from igs_tpu.ops.projection import TILE_Y
+
+    nsh = mesh.shape[axis]
+    grid_rows = settings.image_height // TILE_Y
+    if grid_rows % nsh:
+        raise ValueError(
+            f"image tile rows {grid_rows} not divisible by mesh axis "
+            f"'{axis}' size {nsh}")
+    rows_local = grid_rows // nsh
+    local_settings = settings._replace(image_height=rows_local * TILE_Y)
+
+    def local_run(st, cams, gts, order, bgc):
+        row0 = (jax.lax.axis_index(axis) * rows_local).astype(jnp.int32)
+
+        def body(it, s):
+            cam = jax.tree.map(lambda x: x[order[it]], cams)
+            gt = gts[order[it]]
+            s, _ = refine_step(
+                s, cam, gt, bgc, cfg, local_settings,
+                strip_row0=row0, axis_name=axis,
+            )
+            if cfg.use_densify:
+                do_dens = (
+                    (it < cfg.densify_until_iter)
+                    & (it > cfg.densify_from_iter)
+                    & (it % cfg.densification_interval == 0)
+                )
+                s = jax.lax.cond(
+                    do_dens,
+                    lambda x: densify_and_prune(x, cfg, jnp.float32(extent)),
+                    lambda x: x,
+                    s,
+                )
+            return s
+
+        return jax.lax.fori_loop(0, iters, body, st)
+
+    kwargs = dict(mesh=mesh, in_specs=(P(),) * 5, out_specs=P())
+    try:
+        fn = shard_map(local_run, check_vma=False, **kwargs)
+    except TypeError:  # legacy experimental API
+        fn = shard_map(local_run, check_rep=False, **kwargs)
+    return fn(state, cameras, gt_images, view_order, bg)
 
 
 def convert2stream(state: RefineState) -> Gaussians:
