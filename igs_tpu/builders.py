@@ -25,6 +25,7 @@ def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
     transformer = system.get("transformer", {})
     enc = system.get("triplane_encoder", {})
     enc_unet = enc.get("unet", {})
+    renderer = system.get("renderer", {})
     return AGMNet(
         encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16)),
         feature_channels=backbone.get("feature_channels", 128),
@@ -37,6 +38,9 @@ def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
         encoder_heads=enc_unet.get("num_attention_heads", 8),
         encoder_head_dim=enc_unet.get("attention_head_dim", 64),
         encoder_layers=enc_unet.get("num_layers", 4),
+        render_flow=bool(renderer.get("render_flow", False)),
+        flow_height=int(renderer.get("flow_height", 1024)),
+        flow_width=int(renderer.get("flow_width", 1352)),
     )
 
 

@@ -49,6 +49,11 @@ class AGMNet(nn.Module):
     # bf16 compute for the anchor transformer (reference trains fp16;
     # params stay f32)
     encoder_bf16: bool = False
+    # predicted-motion flow rendering (GS3DRenderer cfg, gs.py:526-528);
+    # off in every shipped reference config (lambda_flow: 0)
+    render_flow: bool = False
+    flow_height: int = 1024
+    flow_width: int = 1352
 
     def setup(self):
         self.backbone = UniMatch(
@@ -170,6 +175,15 @@ class AGMNet(nn.Module):
         fovy = batch["FOV"][:, 1]
         bgs = batch.get("background_color", jnp.zeros((b, 3), jnp.float32))
 
+        flow_settings = None
+        if self.render_flow:
+            # flow renders via the clamp rasterizer at flow resolution
+            # (gs.py:659-713; forward_single_batch keeps the pre-deform
+            # gaussians when cfg.render_flow, gs.py:846)
+            flow_settings = settings._replace(
+                image_height=self.flow_height, image_width=self.flow_width,
+                outputs="color", clamp_grads=True)
+
         if depth_settings is None:
             def render_scene(gs, res, mask, c2ws, fx, fy, bg):
                 cams = jax.vmap(
@@ -178,7 +192,17 @@ class AGMNet(nn.Module):
                         (settings.image_height, settings.image_width),
                     )
                 )(c2ws)
-                return deform_and_render(gs, res, mask, cams, bg, settings)
+                flow_cams = None
+                if flow_settings is not None:
+                    flow_cams = jax.vmap(
+                        lambda c2w: Camera.from_c2w(
+                            c2w, (fx, fy),
+                            (self.flow_height, self.flow_width),
+                        )
+                    )(c2ws)
+                return deform_and_render(gs, res, mask, cams, bg, settings,
+                                         flow_settings=flow_settings,
+                                         flow_cameras=flow_cams)
 
             out = jax.vmap(render_scene)(
                 gaussians, residuals, anchor_state.mask,

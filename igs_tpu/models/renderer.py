@@ -167,8 +167,14 @@ def deform_and_render(
     cameras: Camera,
     bg: jnp.ndarray,
     settings: RasterSettings,
+    flow_settings: Optional[RasterSettings] = None,
+    flow_cameras: Optional[Camera] = None,
 ):
-    """forward_single_batch parity (gs.py:824-856)."""
+    """forward_single_batch parity (gs.py:824-856). With ``flow_settings``
+    + ``flow_cameras`` (same views REBUILT at flow resolution — the pixel
+    flow scale uses the flow-res focals, gs.py:696) the PRE-deform
+    gaussians also render the predicted 2D flow per view
+    (cfg.render_flow, gs.py:846 → forward_single_view gs.py:659-713)."""
     gs = gaussians.deform(
         res_xyz=residuals["xyz"],
         res_rotation=residuals.get("rotation"),
@@ -176,5 +182,10 @@ def deform_and_render(
         mask=mask,
     )
     out = render_views(gs, cameras, bg, settings)
+    if flow_settings is not None:
+        out.update(jax.lax.map(
+            lambda cam: render_flow(gaussians, gs, cam, bg, flow_settings),
+            flow_cameras,
+        ))  # flow_pred (V, 2, fh, fw), flow_mask (V, fh, fw)
     out["3dgs"] = gs
     return out

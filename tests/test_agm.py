@@ -111,3 +111,24 @@ def test_agm_gradients_flow_and_backbone_frozen():
     # trainable parts receive gradient
     assert saw_nonzero.get("render", 0.0) > 0
     assert saw_nonzero.get("transformer", 0.0) > 0
+
+
+def test_agm_render_flow_output():
+    """cfg.render_flow surfaces flow_pred/flow_mask from the forward
+    (gs.py:526-528,846; flow rendered at flow_height/width with the
+    pre-deform gaussians)."""
+    from igs_tpu.models.agm import AGMNet
+    from igs_tpu.ops.rasterize import RasterSettings
+
+    batch, state, gaussians = tiny_batch(b=1, v=2, vout=2, hw=32, n=128, a=32)
+    settings = RasterSettings(
+        image_height=32, image_width=32, impl="tiles",
+        max_pairs=1 << 13, max_per_tile=128, chunk=64, clamp_grads=True,
+    )
+    model = AGMNet(render_flow=True, flow_height=16, flow_width=48)
+    params = model.init(
+        jax.random.PRNGKey(0), batch, state, gaussians, settings)
+    out = model.apply(params, batch, state, gaussians, settings)
+    assert out["flow_pred"].shape == (1, 2, 2, 16, 48)  # (B, V, 2, fh, fw)
+    assert out["flow_mask"].shape[-2:] == (16, 48)
+    assert bool(jnp.all(jnp.isfinite(out["flow_pred"])))
