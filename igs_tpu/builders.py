@@ -120,6 +120,7 @@ def build_stream_configs(
         no_opacity=bool(item.get("no_opacity", False)),
         no_scaling=bool(item.get("no_scaling", False)),
         use_mask=bool(item.get("use_mask", False)),
+        use_new_shs=bool(item.get("use_new_shs", False)),
         use_densify=bool(opt.get("use_densify", True)),
         densify_until_iter=int(opt.get("densify_until_iter", 100)),
         densify_from_iter=int(opt.get("densify_from_iter", 0)),

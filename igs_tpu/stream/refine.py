@@ -50,6 +50,11 @@ class RefineConfig(NamedTuple):
     no_opacity: bool = False
     no_scaling: bool = False
     use_mask: bool = False
+    # train only NEWLY-densified rows' SHs, pre-refine rows' SHs frozen
+    # (refine_item.use_new_shs, gaussian_model.py:110-118,273,345 — the
+    # torch version keeps new_shs as a separate optimizer group; with
+    # fixed capacity the initial-valid mask freezes the original rows)
+    use_new_shs: bool = False
     # densify (demo.yaml:55-62)
     use_densify: bool = True
     densify_until_iter: int = 100
@@ -94,6 +99,9 @@ class RefineState:
     # max tile-budget truncation seen across the loop (0 = budgets OK)
     overflow: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
+    # rows valid BEFORE refine started (their SHs freeze under use_new_shs)
+    init_valid: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), bool))
 
 
 def init_refine_state(
@@ -112,6 +120,7 @@ def init_refine_state(
         denom=jnp.zeros(capacity, jnp.float32),
         rng=jax.random.PRNGKey(seed),
         overflow=jnp.zeros((), jnp.int32),
+        init_valid=g.valid,
     )
 
 
@@ -198,7 +207,10 @@ def refine_step(
     new_params, new_m, new_v = {}, {}, {}
     for name in TRAINABLE:
         p = getattr(g, name)
-        gr = grads[name] * gatef.reshape((-1,) + (1,) * (p.ndim - 1))
+        gname = gatef
+        if name == "shs" and cfg.use_new_shs:
+            gname = gatef * (~state.init_valid).astype(jnp.float32)
+        gr = grads[name] * gname.reshape((-1,) + (1,) * (p.ndim - 1))
         m = cfg.beta1 * state.adam_m[name] + (1 - cfg.beta1) * gr
         v = cfg.beta2 * state.adam_v[name] + (1 - cfg.beta2) * gr * gr
         mhat = m / (1 - cfg.beta1**t)
@@ -301,6 +313,7 @@ def densify_and_prune(
     """
     g = state.gaussians
     n = g.num_capacity
+    valid_before = g.valid
     grads = jnp.where(state.denom > 0, state.xyz_grad_accum / state.denom, 0.0)
 
     selected = (grads >= cfg.densify_grad_threshold) & g.valid
@@ -372,6 +385,12 @@ def densify_and_prune(
     keep = g.get_opacity[:, 0] >= cfg.min_opacity
     g = g.replace(valid=g.valid & keep)
 
+    # rows created this pass (scattered into dead/reused slots, or re-split
+    # in place) are NEW gaussians — under use_new_shs their SHs train
+    # (reference: they live in the trainable new_shs group)
+    new_rows = (g.valid & ~valid_before) | split_sel
+    init_valid = state.init_valid & ~new_rows
+
     return state.replace(
         gaussians=g,
         adam_m=m,
@@ -380,6 +399,7 @@ def densify_and_prune(
         xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
         denom=jnp.zeros_like(state.denom),
         rng=rng,
+        init_valid=init_valid,
     )
 
 

@@ -122,3 +122,54 @@ class TestDensify:
         out = convert2stream(state)
         assert out.num_capacity == 16
         assert int(out.num_valid) == 8
+
+
+def test_use_new_shs_freezes_original_rows():
+    """refine_item.use_new_shs: pre-refine rows' SHs stay frozen, only
+    densify-added rows' SHs train (gaussian_model.py:110-118,273,345)."""
+    import numpy as np
+    from igs_tpu.core.camera import Camera
+    from igs_tpu.ops.rasterize import RasterSettings
+    from igs_tpu.stream.refine import (
+        RefineConfig, init_refine_state, refine_run,
+    )
+    from tests.conftest import make_camera, random_gaussians
+
+    g = random_gaussians(n=96, seed=3)
+    cam = make_camera()
+    cams = jax.tree.map(lambda *x: jnp.stack(x), *[cam, cam])
+    rng = np.random.RandomState(0)
+    gts = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64)), jnp.float32)
+    order = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="tiles",
+        max_pairs=1 << 13, max_per_tile=256, chunk=64, outputs="color",
+        clamp_grads=False,
+    )
+    init = init_refine_state(g, capacity=128)
+
+    def run(use_new):
+        cfg = RefineConfig(
+            use_new_shs=use_new, use_densify=True,
+            densification_interval=2, densify_grad_threshold=1e-7,
+            # clone mode: originals stay in place (split would replace
+            # them in-place with NEW gaussians, correctly unfreezing)
+            percent_dense=1e6,
+        )
+        return refine_run(init, cams, gts, order, jnp.zeros(3), cfg,
+                          settings, jnp.float32(3.0), 4)
+
+    frozen = run(True)
+    trained = run(False)
+    orig = np.asarray(init.gaussians.shs)
+    # rows still marked pre-refine (not re-split into new gaussians) keep
+    # their SHs bit-for-bit; the unfrozen run moves them
+    still = np.asarray(frozen.init_valid)
+    assert still.any()
+    np.testing.assert_array_equal(
+        np.asarray(frozen.gaussians.shs)[still], orig[still])
+    assert np.abs(np.asarray(trained.gaussians.shs)[still]
+                  - orig[still]).max() > 0
+    # densify added new rows (trainable SHs in both runs)
+    assert np.asarray(frozen.gaussians.valid[96:]).any()
+    assert not np.asarray(frozen.init_valid[96:]).any()
