@@ -447,3 +447,48 @@ class TestOpacityAwareCulling:
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"culling changed {name} grads")
+
+
+class TestStripRendering:
+    """strip_row0 mode: a tile-row strip equals the matching rows of the
+    full render bit-for-bit (cross-chip refine sharding building block)."""
+
+    def test_strip_rows_exact(self):
+        cam = make_camera()
+        g = random_gaussians(n=256, seed=1)
+        args = _raster_args(g, cam)
+        full_set = RasterSettings(
+            image_height=64, image_width=64, impl="pallas_packed",
+            max_pairs=1 << 16, pallas_interpret=True, outputs="color")
+        strip_set = full_set._replace(image_height=32)
+        full = rasterize(**args, settings=full_set)["color"]
+        s0 = rasterize(**args, settings=strip_set,
+                       strip_row0=jnp.int32(0))["color"]
+        s1 = rasterize(**args, settings=strip_set,
+                       strip_row0=jnp.int32(2))["color"]
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(full[:, :32]))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(full[:, 32:]))
+
+    def test_strip_grads_sum_to_full(self):
+        cam = make_camera()
+        g = random_gaussians(n=128, seed=2)
+        args = _raster_args(g, cam)
+        full_set = RasterSettings(
+            image_height=64, image_width=64, impl="pallas_packed",
+            max_pairs=1 << 15, pallas_interpret=True, outputs="color")
+        strip_set = full_set._replace(image_height=32)
+
+        def lf(x):
+            return jnp.sum(rasterize(
+                **{**args, "means3d": x}, settings=full_set)["color"] ** 2)
+
+        def ls(x):
+            a = rasterize(**{**args, "means3d": x}, settings=strip_set,
+                          strip_row0=jnp.int32(0))["color"]
+            b = rasterize(**{**args, "means3d": x}, settings=strip_set,
+                          strip_row0=jnp.int32(2))["color"]
+            return jnp.sum(a ** 2) + jnp.sum(b ** 2)
+
+        gf = np.asarray(jax.grad(lf)(g.get_xyz))
+        gs = np.asarray(jax.grad(ls)(g.get_xyz))
+        np.testing.assert_allclose(gs, gf, atol=1e-4, rtol=1e-5)
