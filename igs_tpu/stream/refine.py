@@ -120,7 +120,9 @@ def init_refine_state(
         denom=jnp.zeros(capacity, jnp.float32),
         rng=jax.random.PRNGKey(seed),
         overflow=jnp.zeros((), jnp.int32),
-        init_valid=g.valid,
+        # copy: must not alias gaussians.valid — callers jit with
+        # donate_argnums and a doubly-referenced donated buffer is an error
+        init_valid=g.valid & True,
     )
 
 

@@ -137,3 +137,52 @@ def test_streaming_pipeline_end_to_end(scene, tmp_path):
         saved = json.load(f)
     assert saved["points_num"][0] >= 256
     assert len(os.listdir(os.path.join(cfg.workspace, "eval_pred"))) == 4
+
+
+def test_streaming_pipeline_sharded_refine(scene, tmp_path):
+    """Pipeline wiring for opt.refine_parallel: the 64²-image refine loop
+    strip-shards over 2 devices and the stream produces the same quality
+    as the single-device integration run (same seeds, same data)."""
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="tiles",
+        max_pairs=1 << 15, max_per_tile=256, chunk=64,
+    )
+    cfg = StreamConfig(
+        eval_batch_size=2, refine_iterations=3, max_num=512,
+        anchor_size=64, neighbor_k=4,
+        workspace=str(tmp_path / "ws2"), save_images=False,
+        refine_parallel=2,
+    )
+    rcfg = RefineConfig(
+        densification_interval=2, densify_grad_threshold=1e-5,
+    )
+    items = [ds[0], ds[1]]
+    batch = ds.collate(items)
+    g0 = batch["gs"][0].pad_to(cfg.max_num)
+    state1 = select_anchors(
+        g0.xyz, jnp.asarray(batch["bounding_box"][0]), valid=g0.valid,
+        anchor_size=cfg.anchor_size, k=cfg.neighbor_k)
+    state = jax.tree.map(lambda x: jnp.stack([x] * 2), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * 2), g0)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb,
+                        settings._replace(clamp_grads=True))
+
+    pipe = StreamingPipeline(model, params, ds, cfg, rcfg, settings)
+    results = pipe.run(max_batches=1)
+    assert all(np.isfinite(v) for v in results["psnr"].values())
+    assert results["avg"] > 10.0, results
