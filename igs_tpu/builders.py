@@ -28,6 +28,7 @@ def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
     renderer = system.get("renderer", {})
     return AGMNet(
         encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16)),
+        cnn_bf16=bool(system.get("cnn_bf16", False)),
         feature_channels=backbone.get("feature_channels", 128),
         backbone_layers=backbone.get("transformer", {}).get("num_layers", 6),
         motion_layers=transformer.get("num_layers", 1),

@@ -49,6 +49,8 @@ class AGMNet(nn.Module):
     # bf16 compute for the anchor transformer (reference trains fp16;
     # params stay f32)
     encoder_bf16: bool = False
+    # bf16 compute for the (HBM-bound) CNN encoder; IN stats stay f32
+    cnn_bf16: bool = False
     # predicted-motion flow rendering (GS3DRenderer cfg, gs.py:526-528);
     # off in every shipped reference config (lambda_flow: 0)
     render_flow: bool = False
@@ -60,6 +62,7 @@ class AGMNet(nn.Module):
             feature_channels=self.feature_channels,
             num_transformer_layers=self.backbone_layers,
             attn_splits=self.attn_splits,
+            cnn_dtype=jnp.bfloat16 if self.cnn_bf16 else None,
             name="backbone",
         )
         if self.fine_tune_backbone:

@@ -38,13 +38,15 @@ class UniMatch(nn.Module):
     num_transformer_layers: int = 6
     ffn_dim_expansion: int = 4
     attn_splits: int = 2
+    cnn_dtype: object = None  # bf16 compute for the CNN encoder (HBM-bound)
 
     @nn.compact
     def __call__(self, img0, img1):
         """img0/img1: (B, 3, H, W) in [0, 255] → two (B, C, H/8, W/8)."""
         img0, img1 = normalize_img(img0, img1)
         concat = jnp.concatenate([img0, img1], axis=0)
-        feats = CNNEncoder(self.feature_channels, name="backbone")(concat)
+        feats = CNNEncoder(self.feature_channels, dtype=self.cnn_dtype,
+                           name="backbone")(concat)
         feature0, feature1 = jnp.split(feats, 2, axis=0)
         feature0, feature1 = feature_add_position(
             feature0, feature1, self.attn_splits, self.feature_channels

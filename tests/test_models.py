@@ -195,3 +195,20 @@ def test_render_flow():
     got = np.asarray(out["flow_pred"][:, 16, 16])
     want = np.array([fx * 0.05 / 2.0, fx * -0.02 / 2.0])
     np.testing.assert_allclose(got, want, rtol=0.05)
+
+
+def test_cnn_encoder_bf16_close_to_f32():
+    """cnn_bf16 flag: bf16-compute encoder (f32 IN stats) stays within
+    bf16 tolerance of the f32 path; params are shared/identical."""
+    from igs_tpu.models.backbone import CNNEncoder
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 3, 64, 64)), jnp.float32)
+    enc32 = CNNEncoder(output_dim=32)
+    p = enc32.init(jax.random.PRNGKey(0), x)
+    y32 = enc32.apply(p, x)
+    y16 = CNNEncoder(output_dim=32, dtype=jnp.bfloat16).apply(p, x)
+    assert y16.dtype == jnp.float32  # output returns to f32
+    rel = np.abs(np.asarray(y16 - y32)).max() / (
+        np.abs(np.asarray(y32)).max() + 1e-9)
+    assert rel < 0.05, rel
