@@ -186,3 +186,52 @@ def test_streaming_pipeline_sharded_refine(scene, tmp_path):
     results = pipe.run(max_batches=1)
     assert all(np.isfinite(v) for v in results["psnr"].values())
     assert results["avg"] > 10.0, results
+
+
+def test_streaming_pipeline_free_view(scene, tmp_path):
+    """free_view: spiral-path renders + per-frame PLY export
+    (infer_batch.py:359-378)."""
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="tiles",
+        max_pairs=1 << 15, max_per_tile=256, chunk=64,
+    )
+    cfg = StreamConfig(
+        eval_batch_size=2, refine_iterations=2, max_num=512,
+        anchor_size=64, neighbor_k=4, free_view=True,
+        workspace=str(tmp_path / "wsfv"), save_images=False,
+    )
+    rcfg = RefineConfig(use_densify=False)
+    items = [ds[0], ds[1]]
+    batch = ds.collate(items)
+    g0 = batch["gs"][0].pad_to(cfg.max_num)
+    state1 = select_anchors(
+        g0.xyz, jnp.asarray(batch["bounding_box"][0]), valid=g0.valid,
+        anchor_size=cfg.anchor_size, k=cfg.neighbor_k)
+    state = jax.tree.map(lambda x: jnp.stack([x] * 2), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * 2), g0)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb,
+                        settings._replace(clamp_grads=True))
+    pipe = StreamingPipeline(model, params, ds, cfg, rcfg, settings)
+    pipe.run(max_batches=1)
+    fv = os.listdir(os.path.join(cfg.workspace, "free_view"))
+    plys = os.listdir(os.path.join(cfg.workspace, "gs"))
+    assert len(fv) >= 2 and len(plys) >= 2
+    # exported PLY loads back as valid gaussians
+    from igs_tpu.data.ply import load_gaussian_ply
+    g = load_gaussian_ply(os.path.join(cfg.workspace, "gs", sorted(plys)[0]))
+    assert g.xyz.shape[0] > 0
