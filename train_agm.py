@@ -135,6 +135,17 @@ def main():
 
             conv = convert_igs_checkpoint(load_torch_file(resume_path))
             cparams = fix_mlp_output_layer(conv["params"])
+            # weights_ignore_modules (IGS.py:64-68 / misc.py:29-58):
+            # drop listed top-level module subtrees before the overlay
+            ignore = list(cfg.system.get("weights_ignore_modules", []) or [])
+            if ignore:
+                import flax as _flax
+
+                cf = _flax.traverse_util.flatten_dict(cparams)
+                cf = {k: v for k, v in cf.items()
+                      if not any(".".join(k).startswith(m) for m in ignore)}
+                cparams = _flax.traverse_util.unflatten_dict(cf)
+                print(f"ignoring modules on resume: {ignore}")
             params, loaded = merge_shape_checked(params, cparams)
             print(f"resumed {loaded} tensors from torch ckpt {resume_path}")
         else:
