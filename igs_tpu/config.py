@@ -64,13 +64,21 @@ def _resolve_value(val: Any, root: Dict, depth=0) -> Any:
         m = _INTERP.fullmatch(val.strip())
         if m:
             return _resolve_expr(m.group(1), root, depth)
-        # partial interpolation inside a longer string
+        # partial interpolation inside a longer string. A NESTED form like
+        # ``${gt0:${opt.lambda_render_flow}}`` reaches here too (the inner
+        # ${} blocks the fullmatch): after each substitution pass re-check
+        # whether the remainder is a single interpolation and resolve it
+        # NATIVELY — otherwise the resolver result would be stringified
+        # ("False") and downstream bool() would read it as truthy.
         def sub(match):
             r = _resolve_expr(match.group(1), root, depth)
             return str(r)
 
         out = _INTERP.sub(sub, val)
         while _INTERP.search(out):
+            m = _INTERP.fullmatch(out.strip())
+            if m:
+                return _resolve_expr(m.group(1), root, depth)
             out = _INTERP.sub(sub, out)
         return out
     return val

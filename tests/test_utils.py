@@ -145,3 +145,30 @@ class TestLPIPS:
         out = fn(a, b)
         assert out.shape == (1,)
         assert float(fn(a, a)[0]) < 1e-6  # identical inputs → 0 distance
+
+
+def test_nested_resolver_interpolation_keeps_type():
+    """${gt0:${opt.x}} must resolve to a native bool, not the string
+    "False" (train.yaml:222 render_flow wiring)."""
+    import yaml
+    from igs_tpu.config import load_config
+
+    p = "/tmp/_cfg_nested.yaml"
+    with open(p, "w") as f:
+        f.write("opt:\n  lam: 0\n  lam2: 2\n"
+                "system:\n  a: ${gt0:${opt.lam}}\n  b: ${gt0:${opt.lam2}}\n"
+                "data: {}\n")
+    cfg = load_config(p)
+    assert cfg.system["a"] is False
+    assert cfg.system["b"] is True
+
+
+def test_reference_train_yaml_render_flow_off():
+    """The shipped train.yaml has lambda_render_flow: 0 → renderer
+    render_flow must come out False (was the string 'False')."""
+    from igs_tpu.config import load_config
+    from igs_tpu.builders import build_model
+
+    cfg = load_config("/root/reference/configs/train.yaml")
+    assert cfg.system["renderer"]["render_flow"] is False
+    assert build_model(cfg.system).render_flow is False
