@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--out", default="profile_stages.json")
+    ap.add_argument("--cnn-bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -197,7 +198,7 @@ def main():
         b = args.batch
         hw = 512
         h8 = hw // 8 * 2
-        model = AGMNet()
+        model = AGMNet(cnn_bf16=args.cnn_bf16)
         sel = jax.jit(lambda x, v: select_anchors(
             x, jnp.asarray([[-2.0, -2, -2], [2.0, 2, 2]]), valid=v,
             anchor_size=8192, k=8, exact_knn=False))
@@ -237,7 +238,9 @@ def main():
         cnn_params = params["params"]["backbone"]["backbone"]
 
         def mk_cnn():
-            enc = CNNEncoder(output_dim=128)
+            enc = CNNEncoder(
+                output_dim=128,
+                dtype=jnp.bfloat16 if args.cnn_bf16 else None)
             return lambda x: enc.apply({"params": cnn_params}, x)
 
         results["agm/cnn_encoder_s"] = scan_timeit(mk_cnn, (concat,), K=4)

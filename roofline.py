@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--impl", default="pallas_packed")
     ap.add_argument("--depth-res", type=int, default=128)
     ap.add_argument("--out", default="roofline.json")
+    ap.add_argument("--cnn-bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -127,7 +128,7 @@ def main():
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
-    model = AGMNet()  # production streaming config (f32; bf16
+    model = AGMNet(cnn_bf16=args.cnn_bf16)  # production config (f32; bf16
     # encoder measured SLOWER on v5e — cast overhead breaks fusion)
     state1 = sel(g.xyz, g.valid)
     astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
