@@ -15,12 +15,32 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import threading
 import time
 
 import numpy as np
 
 
+def _watchdog(seconds=900):
+    """Emit an explicit error line if the device never answers — a wedged
+    axon tunnel otherwise hangs jax.devices() forever and the driver's
+    bench record would show nothing at all."""
+    def fire():
+        print(json.dumps({
+            "metric": "rasterize_fwd_bwd_mpix_per_s_512", "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": f"accelerator unreachable for {seconds}s",
+        }), flush=True)
+        import os
+        os._exit(3)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -93,6 +113,7 @@ def main():
     dt = float(np.median(times)) / K
     mpix_s = h * w / dt / 1e6
     target_mpix_s = h * w * 1.0 / 1e6  # ≥1 streamed frame/sec @ 512²
+    wd.cancel()
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s_512",
         "value": round(mpix_s, 3),
