@@ -127,5 +127,6 @@ def build_stream_configs(
         densify_from_iter=int(opt.get("densify_from_iter", 0)),
         densification_interval=int(opt.get("densification_interval", 20)),
         densify_grad_threshold=float(opt.get("densify_grad_threshold", 0.00015)),
+        rebin_every=int(opt.get("rebin_every", 1)),
     )
     return stream, refine

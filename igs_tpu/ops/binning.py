@@ -26,6 +26,46 @@ import jax.numpy as jnp
 from igs_tpu.ops.projection import ProjectedGaussians, TILE_X, TILE_Y
 
 
+def _tile_histogram(tile_id: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Per-tile pair counts, exact, via an 8-lane f32 scatter-add.
+
+    ``jax.ops.segment_sum`` over int32 lowers to a microcoded scalar
+    scatter on TPU; widening the update rows to 8 f32 lanes hits the
+    vectorized add-combiner path instead (measured ~1.2 ms faster inside
+    the full binning program at 512²/150k). Counts ≤ max_pairs < 2²⁴ are
+    exact in f32.
+    """
+    mp = tile_id.shape[0]
+    return jnp.zeros((num_segments, 8), jnp.float32).at[tile_id].add(
+        jnp.ones((mp, 8), jnp.float32))[:, 0].astype(jnp.int32)
+
+
+def _sort_pairs(tile_id, gauss_id, num_tiles):
+    """Stable (tile, input-order) pair sort as ONE unstable fused-key sort.
+
+    XLA lowers ``is_stable=True`` by carrying an extra iota operand
+    through the whole bitonic network (3 lanes of traffic). The input
+    order IS the tiebreak we want, so fuse it into the key instead:
+    ``key = tile << ceil_log2(n) | slot`` — unique keys, 2 lanes, same
+    order as the stable sort, measured ~0.5 ms faster at a 655k-pair
+    sort. Falls back to the stable 2-key sort when tile·slot doesn't fit
+    32 bits (huge images + pair budgets).
+    """
+    n = tile_id.shape[0]
+    shift = max(int(num_tiles + 1).bit_length(), 1)
+    slot_bits = int(n - 1).bit_length()
+    if shift + slot_bits > 32:  # pragma: no cover - giant configs only
+        ts, gs = jax.lax.sort((tile_id, gauss_id), num_keys=1,
+                              is_stable=True)
+        return ts, gs
+    slots = jnp.arange(n, dtype=jnp.uint32)
+    key = (tile_id.astype(jnp.uint32) << slot_bits) | slots
+    key_sorted, gauss_sorted = jax.lax.sort(
+        (key, gauss_id), num_keys=1, is_stable=False)
+    tile_sorted = (key_sorted >> slot_bits).astype(jnp.int32)
+    return tile_sorted, gauss_sorted
+
+
 class TilePairs(NamedTuple):
     gauss_id: jnp.ndarray  # (max_pairs,) int32 gaussian index, depth-ordered per tile
     tile_id: jnp.ndarray  # (max_pairs,) int32, == num_tiles for invalid slots
@@ -82,15 +122,12 @@ def build_tile_pairs(
     ).astype(jnp.int32)
     gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
 
-    # 3. stable sort pairs by tile (depth order preserved within tile)
-    tile_sorted, gauss_sorted = jax.lax.sort(
-        (tile_id, gauss_id), num_keys=1, is_stable=True
-    )
+    # 3. (tile, input-order) sort — fused-key unstable sort, same order as
+    # a stable tile sort (depth order preserved within tile)
+    tile_sorted, gauss_sorted = _sort_pairs(tile_id, gauss_id, num_tiles)
 
     # 4. tile ranges from per-tile counts (stable sort ⇒ start = prefix sum)
-    counts_all = jax.ops.segment_sum(
-        jnp.ones(max_pairs, jnp.int32), tile_id, num_segments=num_tiles + 1
-    )
+    counts_all = _tile_histogram(tile_id, num_tiles + 1)
     counts = counts_all[:num_tiles]
     start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
@@ -166,9 +203,7 @@ def build_tile_pairs_aligned(
     ).astype(jnp.int32)
     gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
 
-    counts_all = jax.ops.segment_sum(
-        jnp.ones(max_pairs, jnp.int32), tile_id, num_segments=num_tiles + 1
-    )
+    counts_all = _tile_histogram(tile_id, num_tiles + 1)
     counts = counts_all[:num_tiles]
 
     # pad pairs: (-count) % ALIGN per tile, laid out as a (T, ALIGN) block
@@ -181,13 +216,12 @@ def build_tile_pairs_aligned(
     ).reshape(-1)
     pad_gauss_id = jnp.full(num_tiles * PAIR_ALIGN, -1, jnp.int32)
 
-    tile_sorted, gauss_sorted = jax.lax.sort(
-        (
-            jnp.concatenate([tile_id, pad_tile_id]),
-            jnp.concatenate([gauss_id, pad_gauss_id]),
-        ),
-        num_keys=1,
-        is_stable=True,
+    # pad entries enter the fused-key sort AFTER the real pairs, so they
+    # sort to the end of their tile's segment exactly like the stable sort
+    tile_sorted, gauss_sorted = _sort_pairs(
+        jnp.concatenate([tile_id, pad_tile_id]),
+        jnp.concatenate([gauss_id, pad_gauss_id]),
+        num_tiles,
     )
 
     padded_counts = counts + pad_t  # every entry ≡ 0 (mod ALIGN)

@@ -70,6 +70,7 @@ def _rasterize_impl(
     settings: RasterSettings,
     valid,
     strip_row0=None,
+    pairs_override=None,
 ):
     proj = project(
         means3d,
@@ -132,8 +133,13 @@ def _rasterize_impl(
             from igs_tpu.ops.binning import build_tile_pairs_aligned
             from igs_tpu.ops.pallas_blend import render_tiles_pallas_packed
 
-            pairs = build_tile_pairs_aligned(
-                proj, grid_x, grid_y, settings.max_pairs)
+            if pairs_override is not None:
+                # caller-supplied (possibly stale) pair list — the refine
+                # loop's rebin_every amortization (stream/refine.py)
+                pairs = pairs_override
+            else:
+                pairs = build_tile_pairs_aligned(
+                    proj, grid_x, grid_y, settings.max_pairs)
             out = render_tiles_pallas_packed(
                 proj, pairs, h, w, fx, fy, bg,
                 interpret=settings.pallas_interpret,
@@ -198,6 +204,7 @@ def rasterize(
     valid: Optional[jnp.ndarray] = None,
     settings: RasterSettings = RasterSettings(),
     strip_row0=None,
+    pairs_override=None,
 ) -> dict:
     """Render; returns the reference 8-tuple as a dict plus radii.
 
@@ -210,6 +217,12 @@ def rasterize(
     if (shs is None) == (colors_precomp is None):
         raise ValueError("provide exactly one of shs / colors_precomp")
 
+    if pairs_override is not None:
+        if settings.impl != "pallas_packed" or strip_row0 is not None \
+                or settings.clamp_grads:
+            raise NotImplementedError(
+                "pairs_override requires impl='pallas_packed' without "
+                "strip_row0/clamp_grads (the refine-loop rebin path)")
     if settings.clamp_grads:
         if strip_row0 is not None:
             # custom_vjp can't carry the shard_map-traced row offset
@@ -220,20 +233,27 @@ def rasterize(
         render = _rasterize_clamped
     else:
         render = _rasterize_plain
-    out, radii, overflow = render(
-        means3d,
-        opacity,
-        scaling,
-        rotation,
-        shs,
-        colors_precomp,
-        means2d_offset,
-        bg,
-        camera,
-        settings,
-        valid,
-        strip_row0,
-    )
+    if pairs_override is not None:
+        out, radii, overflow = _rasterize_plain(
+            means3d, opacity, scaling, rotation, shs, colors_precomp,
+            means2d_offset, bg, camera, settings, valid, strip_row0,
+            pairs_override,
+        )
+    else:
+        out, radii, overflow = render(
+            means3d,
+            opacity,
+            scaling,
+            rotation,
+            shs,
+            colors_precomp,
+            means2d_offset,
+            bg,
+            camera,
+            settings,
+            valid,
+            strip_row0,
+        )
     return {
         "overflow_tiles": overflow,
         "color": out.color,
@@ -251,10 +271,12 @@ def rasterize(
 def _rasterize_plain(
     means3d, opacity, scaling, rotation, shs, colors_precomp,
     means2d_offset, bg, camera, settings, valid, strip_row0=None,
+    pairs_override=None,
 ):
     out, proj, overflow = _rasterize_impl(
         means3d, opacity, scaling, rotation, shs, colors_precomp,
         means2d_offset, bg, camera, settings, valid, strip_row0,
+        pairs_override,
     )
     return out, jax.lax.stop_gradient(proj.radius), \
         jax.lax.stop_gradient(overflow)
@@ -303,6 +325,38 @@ def _rasterize_clamped(
         (means3d, opacity, scaling, rotation, shs, colors_precomp,
          means2d_offset, bg, camera, valid, strip_row0),
     )
+
+
+def build_pairs_packed(
+    means3d, opacity, scaling, rotation, camera,
+    valid=None, settings: RasterSettings = RasterSettings(),
+):
+    """Binning only: the aligned tile-pair list the packed renderer consumes.
+
+    Used by the refine loop's ``rebin_every`` amortization: binning is
+    ~25% of a refine step but the pair/tile assignment changes by far less
+    than one 16px tile per Adam step, so the loop rebuilds pairs every K
+    iterations and feeds the cached list back via
+    ``rasterize(pairs_override=...)`` (fresh per-iteration features are
+    still gathered from the current parameters — only the tile assignment
+    and per-tile depth ORDER are ≤K-1 steps stale).
+    """
+    n = means3d.shape[0]
+    proj = project(
+        means3d, scaling, rotation, opacity, camera,
+        colors_precomp=jnp.zeros((n, 3), jnp.float32),
+        kernel_size=settings.kernel_size,
+        scale_modifier=settings.scale_modifier,
+        valid=valid,
+        geometry=False,  # rect/depth/visibility only
+    )
+    from igs_tpu.ops.binning import build_tile_pairs_aligned
+
+    grid_x, grid_y = image_tile_grid(
+        settings.image_height, settings.image_width)
+    pairs = build_tile_pairs_aligned(
+        proj, grid_x, grid_y, settings.max_pairs)
+    return jax.lax.stop_gradient(pairs)
 
 
 def count_gaussians(

@@ -66,6 +66,13 @@ class RefineConfig(NamedTuple):
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-15
+    # rebuild the tile-pair list every K iterations instead of every
+    # iteration (binning is ~25% of a refine step; per-step position
+    # deltas are ≪ one 16px tile, so tile assignment/depth order go at
+    # most K-1 tiny steps stale — per-iteration FEATURES stay fresh and
+    # densify forces an immediate rebuild). 1 = exact per-iteration
+    # binning (the reference's behavior); pallas_packed impl only.
+    rebin_every: int = 1
 
     def lr_for(self, name: str) -> float:
         return {
@@ -127,7 +134,7 @@ def init_refine_state(
 
 
 def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings,
-                    strip_row0=None, axis_name=None):
+                    strip_row0=None, axis_name=None, pairs_override=None):
     """Loss + grads; optionally with the render sharded over image tile-rows.
 
     Sharded mode (``axis_name`` set, inside shard_map): each device renders
@@ -157,6 +164,7 @@ def _loss_and_grads(gaussians: Gaussians, camera, gt_image, bg, cfg, settings,
             valid=g.valid,
             settings=settings,
             strip_row0=strip_row0,
+            pairs_override=pairs_override,
         )
         img = out["color"]
         if axis_name is not None:
@@ -191,11 +199,13 @@ def refine_step(
     do_densify_stats: bool = True,
     strip_row0=None,
     axis_name=None,
+    pairs_override=None,
 ):
     """One optimization iteration (infer_batch.py:279-324, minus densify)."""
     g = state.gaussians
     loss, grads, g_m2o, radii, mse, overflow = _loss_and_grads(
-        g, camera, gt_image, bg, cfg, settings, strip_row0, axis_name
+        g, camera, gt_image, bg, cfg, settings, strip_row0, axis_name,
+        pairs_override,
     )
 
     # gradient gating: dead rows, frozen groups, (optionally) static region
@@ -422,7 +432,17 @@ def refine_run(
     (infer_batch.py:279-324); with fixed-capacity state every step is
     shape-stable, so the whole loop — including interval densification —
     fuses into a single lax.fori_loop (no per-step host round trips).
+
+    ``cfg.rebin_every > 1`` additionally amortizes tile binning: each
+    view's pair list is carried across iterations and rebuilt only every
+    K uses (or immediately after a densify event). Features are still
+    gathered from the CURRENT parameters every iteration — only the tile
+    assignment and per-tile depth order go ≤K-1 Adam steps stale.
     """
+    if cfg.rebin_every > 1:
+        return _refine_run_rebin(
+            state, cameras, gt_images, view_order, bg, cfg, settings,
+            extent, iters)
 
     def body(it, st):
         cam = jax.tree.map(lambda x: x[view_order[it]], cameras)
@@ -443,6 +463,80 @@ def refine_run(
         return st
 
     return jax.lax.fori_loop(0, iters, body, state)
+
+
+def _refine_run_rebin(
+    state: RefineState,
+    cameras: Camera,
+    gt_images: jnp.ndarray,
+    view_order: jnp.ndarray,
+    bg: jnp.ndarray,
+    cfg: RefineConfig,
+    settings: RasterSettings,
+    extent,
+    iters: int,
+) -> RefineState:
+    """refine_run with per-view pair lists rebuilt every cfg.rebin_every
+    uses (pallas_packed only — see RefineConfig.rebin_every)."""
+    from igs_tpu.ops.rasterize import build_pairs_packed
+
+    if settings.impl != "pallas_packed":
+        raise NotImplementedError(
+            "rebin_every > 1 requires settings.impl == 'pallas_packed'")
+    nviews = gt_images.shape[0]
+
+    def build_for(g: Gaussians, v):
+        cam = jax.tree.map(lambda x: x[v], cameras)
+        return build_pairs_packed(
+            g.get_xyz, g.get_opacity, g.get_scaling, g.get_rotation,
+            cam, valid=g.valid, settings=settings)
+
+    # dummy-init stack; ages start at 0 so every view rebuilds on first use
+    shapes = jax.eval_shape(build_for, state.gaussians, 0)
+    pstack0 = jax.tree.map(
+        lambda s: jnp.zeros((nviews,) + s.shape, s.dtype), shapes)
+    ages0 = jnp.zeros((nviews,), jnp.int32)
+
+    def body(it, carry):
+        st, pstack, ages = carry
+        v = view_order[it]
+        cam = jax.tree.map(lambda x: x[v], cameras)
+        gt = gt_images[v]
+        need = ages[v] <= 0
+        pv_old = jax.tree.map(lambda x: x[v], pstack)
+        pv = jax.lax.cond(
+            need,
+            lambda args: build_for(args[0].gaussians, v),
+            lambda args: args[1],
+            (st, pv_old),
+        )
+        pstack = jax.tree.map(
+            lambda s, p: jax.lax.dynamic_update_index_in_dim(s, p, v, 0),
+            pstack, pv)
+        ages = ages.at[v].set(
+            jnp.where(need, jnp.int32(cfg.rebin_every - 1), ages[v] - 1))
+
+        st, _ = refine_step(st, cam, gt, bg, cfg, settings,
+                            pairs_override=pv)
+        if cfg.use_densify:
+            do_dens = (
+                (it < cfg.densify_until_iter)
+                & (it > cfg.densify_from_iter)
+                & (it % cfg.densification_interval == 0)
+            )
+            st = jax.lax.cond(
+                do_dens,
+                lambda s: densify_and_prune(s, cfg, jnp.float32(extent)),
+                lambda s: s,
+                st,
+            )
+            # densify/prune changed the gaussian set: every cached pair
+            # list is invalid — force rebuild on each view's next use
+            ages = jnp.where(do_dens, jnp.zeros_like(ages), ages)
+        return st, pstack, ages
+
+    st, _, _ = jax.lax.fori_loop(0, iters, body, (state, pstack0, ages0))
+    return st
 
 
 def refine_run_sharded(
