@@ -126,10 +126,14 @@ def build_tile_pairs(
     # a stable tile sort (depth order preserved within tile)
     tile_sorted, gauss_sorted = _sort_pairs(tile_id, gauss_id, num_tiles)
 
-    # 4. tile ranges from per-tile counts (stable sort ⇒ start = prefix sum)
-    counts_all = _tile_histogram(tile_id, num_tiles + 1)
-    counts = counts_all[:num_tiles]
-    start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    # 4. tile ranges by binary search over the SORTED ids — the scatter-add
+    # histogram is a 655k-row microcoded scatter (~5.4 ms at this scale);
+    # 1025 binary-search queries over the already-sorted array are ~0.4 ms
+    # (identifyTileRanges, rasterizer_impl.cu:151, does the same walk)
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype))
+    start = bounds[:num_tiles].astype(jnp.int32)
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
     return TilePairs(
         gauss_id=gauss_sorted,
@@ -203,8 +207,14 @@ def build_tile_pairs_aligned(
     ).astype(jnp.int32)
     gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
 
-    counts_all = _tile_histogram(tile_id, num_tiles + 1)
-    counts = counts_all[:num_tiles]
+    # per-tile counts: sort the ids alone (0.5 ms) + 1025 binary searches
+    # instead of the 655k-row scatter-add histogram (~5.4 ms); the full
+    # fused-key pad sort below still runs on the padded list
+    tile_ids_sorted = jnp.sort(tile_id)
+    bounds = jnp.searchsorted(
+        tile_ids_sorted,
+        jnp.arange(num_tiles + 1, dtype=tile_ids_sorted.dtype))
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
     # pad pairs: (-count) % ALIGN per tile, laid out as a (T, ALIGN) block
     pad_t = (-counts) % PAIR_ALIGN  # (T,)

@@ -699,6 +699,39 @@ def render_tiles_pallas(
         raw, grid_x, grid_y, height, width, focal_x, focal_y, bg)
 
 
+def _raw_to_outputs_color(raw, grid_x, grid_y, height, width, bg):
+    """(T, P, 8) color-mode raw → RenderOutputs (color/alpha/n_contrib
+    live, geometry outputs zero — the kernel never accumulates them)."""
+    from igs_tpu.ops.render_tiles import RenderOutputs
+
+    c = raw.shape[-1]
+    img = raw.reshape(grid_y, grid_x, TILE_Y, TILE_X, c)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        c, grid_y * TILE_Y, grid_x * TILE_X
+    )[:, :height, :width]
+    color_acc = img[0:3]
+    weight = img[3]
+    logT = img[4]
+    n_contrib = img[5]
+    t_final = jnp.exp(logT)
+    color = color_acc + t_final[None] * bg[:, None, None]
+    z1 = jnp.zeros((height, width), jnp.float32)
+    z3 = jnp.zeros((3, height, width), jnp.float32)
+    return RenderOutputs(
+        color=color,
+        alpha=weight,
+        coord=z3,
+        mcoord=z3,
+        depth=z1,
+        mdepth=z1,
+        normal=z3,
+        accum_coord=z3,
+        accum_depth=z1,
+        n_contrib=n_contrib.astype(jnp.int32),
+        max_contrib=jnp.zeros((height, width), jnp.int32),
+    )
+
+
 def _raw_to_outputs(raw, grid_x, grid_y, height, width, focal_x, focal_y,
                     bg):
     """(T, P, 24) raw accumulators → RenderOutputs (differentiable XLA)."""
@@ -966,20 +999,34 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                     sem_ref.at[tt, cf % 2],
                     start + cf * chunk, chunk).wait()
 
-    out_ref[tt, :, :] = jnp.concatenate(
-        [
-            acc_cw[:, 0:3],
-            acc_cw[:, 3:4],
-            acc_cd,
-            acc_n[:, 0:3],
-            acc_med,
-            logT,
-            ncontrib,
-            medpos,
-            jnp.zeros((P, 6), jnp.float32),
-        ],
-        axis=1,
-    )
+    if mode == "color":
+        # 8-lane raw block: [C(3) | W(1) | logT | n_contrib | pad(2)] —
+        # the coord/depth/normal/median accumulators are identically zero
+        # in color mode, and the (T, P, 24) HBM write + its untile
+        # transpose were ~1/3 of the forward's cost at 512².
+        out_ref[tt, :, :] = jnp.concatenate(
+            [
+                acc_cw,              # 0:4  C, W
+                logT,                # 4
+                ncontrib,            # 5
+                jnp.zeros((P, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        out_ref[tt, :, :] = jnp.concatenate(
+            [
+                acc_cw,
+                acc_cd,
+                acc_n[:, 0:3],
+                acc_med,
+                logT,
+                ncontrib,
+                medpos,
+                jnp.zeros((P, 6), jnp.float32),
+            ],
+            axis=1,
+        )
 
 
 def _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot, off, chunk):
@@ -995,11 +1042,12 @@ def _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot, off, chunk):
     )
 
 
-def _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk):
+def _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk, mode="full"):
     """Index of the LAST chunk the backward pass must visit for tile tt
     (the forward's n_contrib early-termination skip), or -1 if none."""
     count = counts_ref[t]
-    nc_max = jnp.max(fwd_ref[tt, :, 16:17]).astype(jnp.int32)
+    nc_lane = 5 if mode == "color" else 16  # 8- vs 24-lane raw layout
+    nc_max = jnp.max(fwd_ref[tt, :, nc_lane:nc_lane + 1]).astype(jnp.int32)
     limit = jnp.minimum(count, nc_max)
     return pl.cdiv(limit, chunk) - 1
 
@@ -1013,7 +1061,7 @@ def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     # (see _fwd_kernel_packed)
     t0 = pl.program_id(0) * fwd_ref.shape[0]
     for tt in range(tiles_per_block):
-        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk)
+        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk, mode)
 
         @pl.when(c_start >= 0)
         def _prologue(tt=tt, c_start=c_start):
@@ -1029,7 +1077,7 @@ def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     # drain: each tile's chunks 0 and 1 (its LAST two writes, reverse
     # order) may still have output copies in flight
     for tt in range(tiles_per_block):
-        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk)
+        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk, mode)
         start = starts_ref[t0 + tt]
 
         @pl.when(c_start >= 0)
@@ -1055,21 +1103,26 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     tril_inc = jnp.tril(ones_c)          # suffix inclusive (j ≥ i)
     tril_exc = tril_inc - jnp.eye(chunk, dtype=jnp.float32)  # j > i
 
-    fwd = fwd_ref[tt, :, :]  # (P, 24)
+    fwd = fwd_ref[tt, :, :]  # (P, 8) color / (P, 24) full
     cot = cot_ref[tt, :, :]
-    logT_final = fwd[:, 15:16]  # (P, 1)
-    ncontrib = fwd[:, 16:17]
-    medpos = fwd[:, 17:18]
-
+    if mode == "color":  # 8-lane raw layout (see _fwd_one_tile_packed)
+        logT_final = fwd[:, 4:5]  # (P, 1)
+        ncontrib = fwd[:, 5:6]
+        medpos = uCD = uN = uMed = None
+        ulogT = cot[:, 4:5]
+    else:
+        logT_final = fwd[:, 15:16]  # (P, 1)
+        ncontrib = fwd[:, 16:17]
+        medpos = fwd[:, 17:18]
+        uCD = cot[:, 4:8]
+        uN = cot[:, 8:11]
+        uMed = cot[:, 11:15]
+        ulogT = cot[:, 15:16]  # (P, 1)
     uC = cot[:, 0:3]
     uW = cot[:, 3:4]
-    uCD = cot[:, 4:8]
-    uN = cot[:, 8:11]
-    uMed = cot[:, 11:15]
-    ulogT = cot[:, 15:16]  # (P, 1)
     uCW = jnp.concatenate([uC, uW], axis=1)  # (P, 4)
 
-    c_start = _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk)
+    c_start = _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk, mode)
 
     def dotl(a, b):  # (P, W) × (K, W) → (P, K), contract lanes
         return jax.lax.dot_general(
@@ -1284,12 +1337,13 @@ def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
     num_tiles = grid_x * grid_y
     chunk = 128  # == binning.PAIR_ALIGN; see docstring
     lanes = feats_t.shape[0]  # 16 (color mode) or 32
+    nl = 8 if mode == "color" else 24  # raw lanes (see _fwd_one_tile_packed)
     tpb = _packed_tpb(num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+        out_specs=pl.BlockSpec((tpb, P, nl), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((tpb, 2)),
@@ -1299,7 +1353,7 @@ def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
         functools.partial(_fwd_kernel_packed, chunk=chunk,
                           tiles_per_block=tpb, mode=mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 24), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, nl), jnp.float32),
         interpret=interpret,
     )(counts, starts, scalars, feats_t)
 
@@ -1318,14 +1372,15 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
     num_tiles = grid_x * grid_y
     chunk = 128
     lanes = feats_t.shape[0]  # 16 (color mode) or 32
+    nl = 8 if mode == "color" else 24
     tpb = _packed_tpb(num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles // tpb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((tpb, P, 24), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, P, nl), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpb, P, nl), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
@@ -1391,5 +1446,7 @@ def render_tiles_pallas_packed(
         pairs.tile_start.astype(jnp.int32), scalars,
         grid_x, grid_y, interpret, mode,
     )
+    if mode == "color":
+        return _raw_to_outputs_color(raw, grid_x, grid_y, height, width, bg)
     return _raw_to_outputs(
         raw, grid_x, grid_y, height, width, focal_x, focal_y, bg)
