@@ -26,20 +26,6 @@ import jax.numpy as jnp
 from igs_tpu.ops.projection import ProjectedGaussians, TILE_X, TILE_Y
 
 
-def _tile_histogram(tile_id: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Per-tile pair counts, exact, via an 8-lane f32 scatter-add.
-
-    ``jax.ops.segment_sum`` over int32 lowers to a microcoded scalar
-    scatter on TPU; widening the update rows to 8 f32 lanes hits the
-    vectorized add-combiner path instead (measured ~1.2 ms faster inside
-    the full binning program at 512²/150k). Counts ≤ max_pairs < 2²⁴ are
-    exact in f32.
-    """
-    mp = tile_id.shape[0]
-    return jnp.zeros((num_segments, 8), jnp.float32).at[tile_id].add(
-        jnp.ones((mp, 8), jnp.float32))[:, 0].astype(jnp.int32)
-
-
 def _sort_pairs(tile_id, gauss_id, num_tiles):
     """Stable (tile, input-order) pair sort as ONE unstable fused-key sort.
 
@@ -147,104 +133,6 @@ def build_tile_pairs(
 
 def image_tile_grid(height: int, width: int) -> tuple[int, int]:
     return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
-
-
-PAIR_ALIGN = 128  # lane-tile width: aligned segment starts let the packed
-# blend kernel DMA (32, chunk) feature blocks at dynamic lane offsets
-# (Mosaic requires 128-aligned dim-1 slice offsets on ANY-space refs)
-
-
-def build_tile_pairs_aligned(
-    proj: ProjectedGaussians, grid_x: int, grid_y: int, max_pairs: int
-) -> TilePairs:
-    """build_tile_pairs with every tile's pair segment start 128-aligned.
-
-    Between tiles, pad pairs (gauss_id == -1) round each tile's segment up
-    to a PAIR_ALIGN multiple. The pad slots sort stably AFTER the tile's
-    real pairs (they enter the sort later in input order), so
-    ``gauss_id[tile_start[t] : tile_start[t] + tile_count[t]]`` is still
-    the depth-ordered real pair list. Output length is
-    ``max_pairs + num_tiles * PAIR_ALIGN`` (static).
-
-    This removes the per-tile ``max_per_tile`` budget entirely: the packed
-    kernel walks each segment to its true count, so only the global
-    ``max_pairs`` budget can truncate (surfaced via ``overflowed``).
-    """
-    n = proj.depth.shape[0]
-    num_tiles = grid_x * grid_y
-
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
-    rect_min = proj.rect_min[order]
-    rect_max = proj.rect_max[order]
-    tiles_touched = proj.tiles_touched[order]
-
-    offsets = jnp.cumsum(tiles_touched)
-    total = offsets[-1]
-    slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    base = jnp.concatenate([jnp.zeros(1, offsets.dtype), offsets[:-1]])
-    packed = jnp.stack(
-        [
-            rect_min[:, 0],
-            rect_min[:, 1],
-            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1),
-            base.astype(jnp.int32),
-            order.astype(jnp.int32),
-        ],
-        axis=1,
-    )
-    exp = jnp.repeat(
-        packed, tiles_touched, axis=0, total_repeat_length=max_pairs
-    )
-    local = slots - exp[:, 3]
-    rw_f = exp[:, 2].astype(jnp.float32)
-    q = jnp.floor(local.astype(jnp.float32) / rw_f).astype(jnp.int32)
-    tile_x = exp[:, 0] + (local - q * exp[:, 2])
-    tile_y = exp[:, 1] + q
-    pair_valid = slots < total
-    tile_id = jnp.where(
-        pair_valid, tile_y * grid_x + tile_x, num_tiles
-    ).astype(jnp.int32)
-    gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
-
-    # per-tile counts: sort the ids alone (0.5 ms) + 1025 binary searches
-    # instead of the 655k-row scatter-add histogram (~5.4 ms); the full
-    # fused-key pad sort below still runs on the padded list
-    tile_ids_sorted = jnp.sort(tile_id)
-    bounds = jnp.searchsorted(
-        tile_ids_sorted,
-        jnp.arange(num_tiles + 1, dtype=tile_ids_sorted.dtype))
-    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
-
-    # pad pairs: (-count) % ALIGN per tile, laid out as a (T, ALIGN) block
-    pad_t = (-counts) % PAIR_ALIGN  # (T,)
-    j = jnp.arange(PAIR_ALIGN, dtype=jnp.int32)
-    pad_tile_id = jnp.where(
-        j[None, :] < pad_t[:, None],
-        jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
-        num_tiles,
-    ).reshape(-1)
-    pad_gauss_id = jnp.full(num_tiles * PAIR_ALIGN, -1, jnp.int32)
-
-    # pad entries enter the fused-key sort AFTER the real pairs, so they
-    # sort to the end of their tile's segment exactly like the stable sort
-    tile_sorted, gauss_sorted = _sort_pairs(
-        jnp.concatenate([tile_id, pad_tile_id]),
-        jnp.concatenate([gauss_id, pad_gauss_id]),
-        num_tiles,
-    )
-
-    padded_counts = counts + pad_t  # every entry ≡ 0 (mod ALIGN)
-    start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
-
-    return TilePairs(
-        gauss_id=gauss_sorted,
-        tile_id=tile_sorted,
-        num_pairs=jnp.minimum(total, max_pairs).astype(jnp.int32),
-        tile_start=start,
-        tile_count=counts,
-        overflowed=total > max_pairs,
-    )
 
 
 def build_tile_lists_compact(

@@ -46,6 +46,32 @@ HI = jax.lax.Precision.HIGHEST
 LO = jax.lax.Precision.DEFAULT
 
 
+def _dot3(a, b, dims, a_exact=False, b_exact=False):
+    """dot_general at ~f32 accuracy in 3 (or 2) bf16 MXU passes.
+
+    HIGHEST runs f32 dots as 6 bf16 passes; splitting both operands hi/lo
+    and dropping the lo·lo term costs 3 passes at ~2^-16 relative error —
+    half the MXU time, far inside the rasterizer's 2e-4 parity envelope
+    (the packed kernels measured MXU-PASS-bound in full mode: all-DEFAULT
+    probe cut fwd+bwd 52.4 → 40.5 ms at 512²/100k). ``a_exact``/``b_exact``
+    mark operands already exactly representable in bf16 (0/1 masks), which
+    need no split — 2 passes.
+    """
+    d = lambda x, y: jax.lax.dot_general(x, y, dims, precision=LO)
+    if a_exact and b_exact:
+        return d(a, b)
+    if a_exact:
+        bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+        return d(a, bh) + d(a, b - bh)
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    if b_exact:
+        return d(ah, b) + d(al, b)
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _tri_dot(x, tri):
     """dot(x, tri) for a 0/1 triangular matrix in 2 MXU passes.
 
@@ -803,9 +829,12 @@ def _raw_to_outputs(raw, grid_x, grid_y, height, width, focal_x, focal_y,
 # HBM traffic is padding, and the windows must first be materialized by
 # gather_tile_windows (another full read+write). Here the kernel walks each
 # tile's pair segment IN PLACE: features live once as (32, total_pairs)
-# with every tile's segment start 128-aligned (binning.build_tile_pairs_
-# aligned), and each grid step issues double-buffered DMAs of (32, chunk)
-# lane windows. Per-tile budgets (max_per_tile) disappear entirely.
+# (binning.build_tile_pairs, UNALIGNED contiguous segments — no pad
+# pairs), and each grid step issues double-buffered DMAs of (32, chunk)
+# lane windows at the 128-floor of each segment, masking the head columns.
+# Per-tile budgets (max_per_tile) disappear entirely, and the backward
+# hands shared boundary windows between adjacent tiles through a stashed
+# VMEM window so each 128-window is DMA-written exactly once.
 #
 # The compute is the same math as the windowed kernels with the two axes
 # swapped: intermediates are (P pixels, chunk pairs), prefix/suffix scans
@@ -840,14 +869,25 @@ def _common_chunk_t(ft, pixx, pixy):
 def _dma_window(feats_hbm, scratch, sem, off, chunk):
     """Start the async copy of lanes [off, off+chunk) into scratch.
 
-    ``off`` is always a multiple of PAIR_ALIGN=128 by construction
-    (aligned segment starts + chunk==128 strides); the multiple_of hint
-    tells Mosaic the lane slice is tile-aligned so it can lower the
-    dynamic-offset DMA.
+    ``off`` is always a multiple of 128 by construction (window bases are
+    the 128-floor of each tile's segment start plus chunk==128 strides);
+    the multiple_of hint tells Mosaic the lane slice is tile-aligned so it
+    can lower the dynamic-offset DMA.
     """
     return pltpu.make_async_copy(
         feats_hbm.at[:, pl.ds(pl.multiple_of(off, 128), chunk)],
         scratch, sem)
+
+
+def _seg_base_head(start, chunk):
+    """128-floor of a tile's segment start and its in-window offset.
+
+    Segments are UNALIGNED (contiguous per tile, no pad pairs); the kernel
+    DMAs aligned windows and masks the ``head`` columns that belong to the
+    previous tile's tail.
+    """
+    base = (start // chunk) * chunk
+    return base, start - base
 
 
 def _fwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
@@ -862,9 +902,9 @@ def _fwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     for tt in range(tiles_per_block):
         @pl.when(counts_ref[t0 + tt] > 0)
         def _prologue(tt=tt):
+            base, _ = _seg_base_head(starts_ref[t0 + tt], chunk)
             _dma_window(feats_hbm, scratch_ref.at[tt, 0],
-                        sem_ref.at[tt, 0], starts_ref[t0 + tt],
-                        chunk).start()
+                        sem_ref.at[tt, 0], base, chunk).start()
     for tt in range(tiles_per_block):
         _fwd_one_tile_packed(
             counts_ref, starts_ref, scalars_ref, feats_hbm, out_ref,
@@ -877,15 +917,17 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     t = pl.program_id(0) * out_ref.shape[0] + tt
     count = counts_ref[t]
     start = starts_ref[t]
+    base, head = _seg_base_head(start, chunk)
     pixx, pixy = _pix_coords_t(t, scalars_ref)
     triu_inc = jnp.triu(jnp.ones((chunk, chunk), jnp.float32))
     tril_inc = triu_inc.T
 
-    n_chunks = pl.cdiv(count, chunk)
+    # count == 0 must not walk at all (head alone would round up to one
+    # chunk whose DMA the prologue never issued)
+    n_chunks = jnp.where(count > 0, pl.cdiv(head + count, chunk), 0)
 
-    def dotl(a, b):  # (P, W) ×(contract W) (K, W) → (P, K)
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), precision=HI)
+    def dotl(a, b, a_exact=False):  # (P, W) ×(contract W) (K, W) → (P, K)
+        return _dot3(a, b, (((1,), (1,)), ((), ())), a_exact=a_exact)
 
     # double buffering: slot c%2 of this tile's buffer pair holds chunk c;
     # chunk 0's DMA was issued by the kernel-level prologue.
@@ -911,19 +953,21 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         slot = c % 2
         _dma_window(feats_hbm, scratch_ref.at[tt, slot],
                     sem_ref.at[tt, slot],
-                    start + c * chunk, chunk).wait()
+                    base + c * chunk, chunk).wait()
 
         @pl.when(c + 1 < n_chunks)
         def _prefetch():
             _dma_window(
                 feats_hbm, scratch_ref.at[tt, (c + 1) % 2],
                 sem_ref.at[tt, (c + 1) % 2],
-                start + (c + 1) * chunk, chunk).start()
+                base + (c + 1) * chunk, chunk).start()
 
         ft = scratch_ref[tt, slot]  # (32, chunk)
+        # local pair index within this tile's segment; columns with
+        # loc < 0 are the previous tile's tail sharing our head window
         slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                    + c * chunk)
-        live = slot_row < count
+                    + c * chunk - head)
+        live = (slot_row >= 0) & (slot_row < count)
         dx, dy, power, _, alpha = _common_chunk_t(ft, pixx, pixy)
         cand = live & (power <= 0.0) & (alpha >= _MIN_ALPHA)
         a = jnp.where(cand, alpha, 0.0)
@@ -962,7 +1006,7 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             last = med * (suffix < 1.5)
             has = jnp.sum(last, axis=1, keepdims=True)  # (P, 1)
             med_new = (
-                dotl(last, f_cd_w)
+                dotl(last, f_cd_w, a_exact=True)
                 + dotl(last * dx, f_cd_x)
                 + dotl(last * dy, f_cd_y)
             )
@@ -997,7 +1041,7 @@ def _fwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     def _drain():
         _dma_window(feats_hbm, scratch_ref.at[tt, cf % 2],
                     sem_ref.at[tt, cf % 2],
-                    start + cf * chunk, chunk).wait()
+                    base + cf * chunk, chunk).wait()
 
     if mode == "color":
         # 8-lane raw block: [C(3) | W(1) | logT | n_contrib | pad(2)] —
@@ -1042,62 +1086,101 @@ def _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot, off, chunk):
     )
 
 
-def _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk, mode="full"):
+def _bwd_c_start(counts_ref, starts_ref, fwd_ref, t, tt, chunk,
+                 mode="full"):
     """Index of the LAST chunk the backward pass must visit for tile tt
-    (the forward's n_contrib early-termination skip), or -1 if none."""
+    (the forward's n_contrib early-termination skip), or -1 if none.
+
+    Tiles with pairs but zero contributors still walk ONE chunk
+    (limit floored at 1) so the boundary-window hand-off chain
+    (merge / stash / skip, see _bwd_one_tile_packed) stays unbroken."""
     count = counts_ref[t]
+    _, head = _seg_base_head(starts_ref[t], chunk)
     nc_lane = 5 if mode == "color" else 16  # 8- vs 24-lane raw layout
     nc_max = jnp.max(fwd_ref[tt, :, nc_lane:nc_lane + 1]).astype(jnp.int32)
-    limit = jnp.minimum(count, nc_max)
-    return pl.cdiv(limit, chunk) - 1
+    limit = jnp.minimum(count, jnp.maximum(nc_max, 1))
+    return jnp.where(count > 0, pl.cdiv(head + limit, chunk) - 1, -1)
+
+
+def _bwd_write_tail(counts_ref, starts_ref, scalars_ref, t, c_start, chunk):
+    """Whether tile t itself DMAs its LAST walked window (chunk c_start).
+
+    Boundary windows are shared between adjacent tiles' segments; exactly
+    ONE tile writes each window — the last one whose walk covers it. If
+    the next real pair (at ``end``) falls inside this window, a later tile
+    will merge our stashed content into its own write, so we skip ours
+    (two DMAs to the same window would race)."""
+    start = starts_ref[t]
+    base, _ = _seg_base_head(start, chunk)
+    end = start + counts_ref[t]
+    total = scalars_ref[1].astype(jnp.int32)  # num real pairs
+    tail_end = base + (c_start + 1) * chunk
+    return (end >= total) | (end >= tail_end)
 
 
 def _bwd_kernel_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                        fwd_ref, cot_ref, dz_hbm, dout_hbm, scratch_ref,
-                       oscratch_ref, sem_ref, osem_ref, *, chunk: int,
-                       tiles_per_block: int, mode: str):
+                       oscratch_ref, pwin_ref, ex_ref, pbase_ref, sem_ref,
+                       osem_ref, *, chunk: int, tiles_per_block: int,
+                       mode: str):
     del dz_hbm  # zero-initialized alias of dout_hbm
-    # cross-tile pipelining: issue every tile's first-window DMA up front
-    # (see _fwd_kernel_packed)
     t0 = pl.program_id(0) * fwd_ref.shape[0]
+    # boundary-chain state persists across tiles AND grid steps; -1 marks
+    # "no stashed window" at the very first grid step
+    @pl.when(pl.program_id(0) == 0)
+    def _init_chain():
+        pbase_ref[0] = jnp.int32(-1)
+
+    # cross-tile pipelining: issue every tile's first-window DMA up front
+    # (see _fwd_kernel_packed); c_start/write_tail computed ONCE per tile
+    # and shared with the walk and the drains (the (P,) n_contrib max is
+    # not free ×3)
+    cs, wt = [], []
     for tt in range(tiles_per_block):
-        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk, mode)
+        c_start = _bwd_c_start(counts_ref, starts_ref, fwd_ref, t0 + tt,
+                               tt, chunk, mode)
+        cs.append(c_start)
+        wt.append(_bwd_write_tail(counts_ref, starts_ref, scalars_ref,
+                                  t0 + tt, c_start, chunk))
 
         @pl.when(c_start >= 0)
         def _prologue(tt=tt, c_start=c_start):
+            base, _ = _seg_base_head(starts_ref[t0 + tt], chunk)
             _dma_window(feats_hbm, scratch_ref.at[tt, c_start % 2],
                         sem_ref.at[tt, c_start % 2],
-                        starts_ref[t0 + tt] + c_start * chunk,
-                        chunk).start()
+                        base + c_start * chunk, chunk).start()
     for tt in range(tiles_per_block):
         _bwd_one_tile_packed(
             counts_ref, starts_ref, scalars_ref, feats_hbm, fwd_ref,
-            cot_ref, dout_hbm, scratch_ref, oscratch_ref, sem_ref,
-            osem_ref, chunk=chunk, tt=tt, mode=mode)
+            cot_ref, dout_hbm, scratch_ref, oscratch_ref, pwin_ref,
+            ex_ref, pbase_ref, sem_ref, osem_ref, chunk=chunk, tt=tt,
+            mode=mode, c_start=cs[tt], write_tail=wt[tt])
     # drain: each tile's chunks 0 and 1 (its LAST two writes, reverse
-    # order) may still have output copies in flight
+    # order) may still have output copies in flight (every walked chunk
+    # starts a copy — a skipped tail redirects to the dump block)
     for tt in range(tiles_per_block):
-        c_start = _bwd_c_start(counts_ref, fwd_ref, t0 + tt, tt, chunk, mode)
-        start = starts_ref[t0 + tt]
+        base, _ = _seg_base_head(starts_ref[t0 + tt], chunk)
 
-        @pl.when(c_start >= 0)
-        def _drain0(tt=tt, start=start):
+        @pl.when(cs[tt] >= 0)
+        def _drain0(tt=tt, base=base):
             _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, 0,
-                      start, chunk).wait()
+                      base, chunk).wait()
 
-        @pl.when(c_start >= 1)
-        def _drain1(tt=tt, start=start):
+        @pl.when(cs[tt] >= 1)
+        def _drain1(tt=tt, base=base):
             _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, 1,
-                      start + chunk, chunk).wait()
+                      base + chunk, chunk).wait()
 
 
 def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                          fwd_ref, cot_ref, dout_hbm, scratch_ref,
-                         oscratch_ref, sem_ref, osem_ref, *, chunk: int,
-                         tt: int, mode: str):
+                         oscratch_ref, pwin_ref, ex_ref, pbase_ref,
+                         sem_ref, osem_ref, *, chunk: int, tt: int,
+                         mode: str, c_start, write_tail):
     t = pl.program_id(0) * fwd_ref.shape[0] + tt
     count = counts_ref[t]
     start = starts_ref[t]
+    base, head = _seg_base_head(start, chunk)
     pixx, pixy = _pix_coords_t(t, scalars_ref)
     ones_c = jnp.ones((chunk, chunk), jnp.float32)
     tril_inc = jnp.tril(ones_c)          # suffix inclusive (j ≥ i)
@@ -1122,17 +1205,21 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
     uW = cot[:, 3:4]
     uCW = jnp.concatenate([uC, uW], axis=1)  # (P, 4)
 
-    c_start = _bwd_c_start(counts_ref, fwd_ref, t, tt, chunk, mode)
+    def dotc(a, b, b_exact=False):  # (P, K) × (P, W) → (K, W)
+        return _dot3(a, b, (((0,), (0,)), ((), ())), b_exact=b_exact)
 
-    def dotl(a, b):  # (P, W) × (K, W) → (P, K), contract lanes
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), precision=HI)
-
-    def dotc(a, b):  # (P, K) × (P, W) → (K, W), contract sublanes
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), precision=HI)
+    def mm3(a, b, a_exact=False):  # (P, K) × (K, W) → (P, W)
+        return _dot3(a, b, (((1,), (0,)), ((), ())), a_exact=a_exact)
 
     # chunk c_start's DMA was issued by the kernel-level prologue
+
+    # capture the PREDECESSOR's stashed boundary window before our own
+    # walk stashes over it (the tail stash happens at chunk c_start, the
+    # head merge that needs the predecessor's content at chunk 0 — later
+    # in the reverse walk). Staged through ex_ref and loaded at the point
+    # of use: carrying the (lanes, chunk) value live across the loop
+    # spills vregs (measured +12% on the 100k bench scene).
+    ex_ref[...] = jnp.where(pbase_ref[0] == base, pwin_ref[...], 0.0)
 
     def cond(carry):
         return carry[2] >= 0
@@ -1142,21 +1229,24 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
         slot = c % 2
         _dma_window(feats_hbm, scratch_ref.at[tt, slot],
                     sem_ref.at[tt, slot],
-                    start + c * chunk, chunk).wait()
+                    base + c * chunk, chunk).wait()
 
         @pl.when(c - 1 >= 0)
         def _prefetch():
             _dma_window(feats_hbm, scratch_ref.at[tt, (c - 1) % 2],
                         sem_ref.at[tt, (c - 1) % 2],
-                        start + (c - 1) * chunk, chunk).start()
+                        base + (c - 1) * chunk, chunk).start()
 
         ft = scratch_ref[tt, slot]
+        # local pair index within this tile's segment; columns with
+        # loc < 0 are the previous tile's tail sharing our head window
         slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                    + c * chunk)
+                    + c * chunk - head)
         slotf = slot_row.astype(jnp.float32)
         dx, dy, power, expp, alpha = _common_chunk_t(ft, pixx, pixy)
         accept = (
-            (slot_row < count)
+            (slot_row >= 0)
+            & (slot_row < count)
             & (power <= 0.0)
             & (alpha >= _MIN_ALPHA)
             & ((slotf + 1.0) <= ncontrib)
@@ -1189,6 +1279,9 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             f_n4 = jnp.concatenate(
                 [ft[21:24, :], jnp.zeros((1, chunk), jnp.float32)], axis=0)
 
+        # g feeds da = t_i·g − (s+ulogT)/(1−a), a cancellation-prone
+        # difference — keep the dL/dw assembly at HIGHEST (the split-pass
+        # version measured 2.7e-3 grad error vs the 2e-3 gate)
         g = jnp.dot(uCW, f_cw, precision=HI)  # (P, W)
         if mode != "color":
             gx = jnp.dot(uCD, f_cd_x, precision=HI)
@@ -1222,8 +1315,8 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             ).astype(jnp.float32)  # (P, W)
             ldx = lastm * dx
             ldy = lastm * dy
-            ddx = ddx + lastm * jnp.dot(uMed, f_cd_x, precision=HI)
-            ddy = ddy + lastm * jnp.dot(uMed, f_cd_y, precision=HI)
+            ddx = ddx + lastm * mm3(uMed, f_cd_x)
+            ddy = ddy + lastm * mm3(uMed, f_cd_y)
 
         wdx = w * dx
         wdy = w * dy
@@ -1248,7 +1341,7 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
             dcpx_rp0 = jnp.zeros((4, chunk), jnp.float32)
             dcpy_rp1 = jnp.zeros((4, chunk), jnp.float32)
         if mode == "full":
-            dvp_t = dvp_t + dotc(uMed, lastm)
+            dvp_t = dvp_t + dotc(uMed, lastm, b_exact=True)
             dcpx_rp0 = dcpx_rp0 + dotc(uMed, ldx)
             dcpy_rp1 = dcpy_rp1 + dotc(uMed, ldy)
             dnrm = dotc(uN, w)  # (3, W)
@@ -1287,22 +1380,49 @@ def _bwd_one_tile_packed(counts_ref, starts_ref, scalars_ref, feats_hbm,
                 ],
                 axis=0,
             )  # (32, W)
+        # ---- boundary-window hand-off chain -------------------------
+        # Segments are unaligned, so the head window (chunk 0, when
+        # head > 0) is shared with earlier tiles' tails and the tail
+        # window (chunk c_start) may be shared with later tiles' heads.
+        # Each window is DMA'd by exactly ONE tile: the head window
+        # merges the previous writer's stashed content (pwin_ref, valid
+        # when its base matches — otherwise the window was never written
+        # and the zero-aliased output is correct), and the tail window is
+        # skipped (stash only) when a later tile will write it merged.
+        is_head = (c == 0) & (head > 0)
+        live_col = (slot_row >= 0) & (slot_row < count)  # (1, chunk)
+        block = jnp.where(
+            is_head & jnp.logical_not(live_col), ex_ref[...], block)
+
+        is_tail = c == c_start
+
+        @pl.when(is_tail)
+        def _stash(block=block):
+            pwin_ref[...] = block
+            pbase_ref[0] = base + c * chunk
+
         # write out through this tile's out-scratch pair, double-buffered:
         # before overwriting a slot, consume the semaphore of the copy
         # started on it two chunks ago (chunk c+2, reverse order); the
         # copies still in flight when the loop ends are drained at the
-        # END of the kernel (after all tiles), keeping the store latency
-        # off the critical path entirely.
+        # END of the kernel. Every walked chunk starts a copy — a skipped
+        # tail redirects to the dump block (the padded last window of
+        # dout, whose content is sliced away by the caller), keeping the
+        # DMA schedule branch-free; concurrent dump writes are a benign
+        # write-write race on never-read scratch columns.
         oslot = c % 2
 
         @pl.when(c + 2 <= c_start)
         def _owait():
             _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot,
-                      start + (c + 2) * chunk, chunk).wait()
+                      base + (c + 2) * chunk, chunk).wait()
 
         oscratch_ref[tt, oslot] = block
+        dump_off = dout_hbm.shape[1] - chunk
+        off = jnp.where(is_tail & jnp.logical_not(write_tail),
+                        dump_off, base + c * chunk)
         _out_copy(oscratch_ref, dout_hbm, osem_ref, tt, oslot,
-                  start + c * chunk, chunk).start()
+                  off, chunk).start()
 
         s_next = s_carry + jnp.sum(wg, axis=1, keepdims=True)
         logT_next = logT_end - jnp.sum(
@@ -1326,16 +1446,15 @@ def _packed_tpb(num_tiles: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def blend_raw_packed(feats_t, counts, starts, scalars, grid_x, grid_y,
                      interpret, mode="full"):
-    """(32, total_pairs) packed feats → (T, P, 24) raw accumulators.
+    """(32, total_pairs) packed feats → (T, P, nl) raw accumulators.
 
-    ``feats_t`` is the TRANSPOSED per-pair feature array with every tile's
-    segment start 128-aligned (binning.build_tile_pairs_aligned); the
-    kernel walks each segment with double-buffered (32, 128) DMAs instead
-    of streaming padded (max_per_tile, 32) windows. Chunk width is fixed
-    at PAIR_ALIGN=128 so reads and writes never cross a segment boundary.
+    ``feats_t`` is the TRANSPOSED per-pair feature array over UNALIGNED
+    contiguous tile segments (binning.build_tile_pairs); the kernel walks
+    each segment with double-buffered (32, 128) DMAs at 128-aligned window
+    bases, masking the head columns that belong to the previous tile.
     """
     num_tiles = grid_x * grid_y
-    chunk = 128  # == binning.PAIR_ALIGN; see docstring
+    chunk = 128  # DMA window width; see docstring
     lanes = feats_t.shape[0]  # 16 (color mode) or 32
     nl = 8 if mode == "color" else 24  # raw lanes (see _fwd_one_tile_packed)
     tpb = _packed_tpb(num_tiles)
@@ -1387,6 +1506,9 @@ def _blend_raw_packed_bwd(grid_x, grid_y, interpret, mode, res, cot):
         scratch_shapes=[
             pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
             pltpu.VMEM((tpb, 2, lanes, chunk), jnp.float32),
+            pltpu.VMEM((lanes, chunk), jnp.float32),  # stashed boundary win
+            pltpu.VMEM((lanes, chunk), jnp.float32),  # staged predecessor win
+            pltpu.SMEM((1,), jnp.int32),              # stash window base
             pltpu.SemaphoreType.DMA((tpb, 2)),
             pltpu.SemaphoreType.DMA((tpb, 2)),
         ],
@@ -1417,7 +1539,7 @@ blend_raw_packed.defvjp(_blend_raw_packed_fwd, _blend_raw_packed_bwd)
 
 def render_tiles_pallas_packed(
     proj: ProjectedGaussians,
-    pairs,  # TilePairs from build_tile_pairs_aligned
+    pairs,  # TilePairs from build_tile_pairs
     height: int,
     width: int,
     focal_x,
@@ -1436,10 +1558,18 @@ def render_tiles_pallas_packed(
         # writes grads only there — a 16-lane pack halves the pair
         # gather, the kernel DMA traffic, and the AD scatter-add
         feats = feats[:, :16]
-    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MPT, lanes)
-    feats_t = pair_feats.T  # (lanes, MPT) — lanes = pairs
+    assert pairs.gauss_id.shape[0] % 128 == 0, "max_pairs must be 128-aligned"
+    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MP, lanes)
+    # +1 window of pad rows: the backward's dump block for skipped
+    # boundary-window copies (pad's VJP slices the grads back to MP rows)
+    pair_feats = jnp.pad(pair_feats, ((0, 128), (0, 0)))
+    feats_t = pair_feats.T  # (lanes, MP + 128) — lanes = pairs
+    # scalars[1] = number of real pairs: the backward's boundary-window
+    # hand-off needs to know whether a later tile exists past a segment
     scalars = jnp.concatenate(
-        [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)]
+        [jnp.asarray([grid_x], jnp.float32),
+         pairs.num_pairs.astype(jnp.float32)[None],
+         jnp.zeros(6, jnp.float32)]
     )
     raw = blend_raw_packed(
         feats_t, pairs.tile_count.astype(jnp.int32),

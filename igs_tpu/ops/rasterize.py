@@ -44,8 +44,8 @@ class RasterSettings(NamedTuple):
     chunk: int = 128  # pair-chunk per kernel step; 128 measured fastest
     # at 512²/150k (tools_bench_blend.py: 58.4 vs 60.3 ms fwd+bwd @256)
     # "tiles" = exact XLA path (gradcheck oracle); "pallas" = fused
-    # windowed kernels; "pallas_packed" = fused kernels over the aligned
-    # packed pair list (no per-tile budget, least HBM traffic — production)
+    # windowed kernels; "pallas_packed" = fused kernels walking the sorted
+    # pair list in place (no per-tile budget, least HBM traffic — production)
     impl: str = "tiles"
     binning: str = "sort"  # "sort" (merge-searchsorted) | "compact"
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
@@ -102,7 +102,10 @@ def _rasterize_impl(
         # Shift projection into strip-local pixel space — the gaussian/tile
         # pair sets decompose exactly by tile row, and conic/depth/color
         # are translation-invariant, so a strip render equals the matching
-        # rows of the full render (test_sharding.py::test_strip_rows).
+        # rows of the full render to float accuracy (chunk grouping in the
+        # packed kernel depends on each segment's global offset, so the
+        # prefix dots associate differently — last-ulp drift only;
+        # tests/test_rasterize.py::TestStripRendering).
         from igs_tpu.ops.projection import TILE_Y
 
         rows_local = settings.image_height // TILE_Y
@@ -130,7 +133,6 @@ def _rasterize_impl(
         grid_x, grid_y = image_tile_grid(h, w)
         pairs = None
         if settings.impl == "pallas_packed":
-            from igs_tpu.ops.binning import build_tile_pairs_aligned
             from igs_tpu.ops.pallas_blend import render_tiles_pallas_packed
 
             if pairs_override is not None:
@@ -138,7 +140,7 @@ def _rasterize_impl(
                 # loop's rebin_every amortization (stream/refine.py)
                 pairs = pairs_override
             else:
-                pairs = build_tile_pairs_aligned(
+                pairs = build_tile_pairs(
                     proj, grid_x, grid_y, settings.max_pairs)
             out = render_tiles_pallas_packed(
                 proj, pairs, h, w, fx, fy, bg,
@@ -331,7 +333,7 @@ def build_pairs_packed(
     means3d, opacity, scaling, rotation, camera,
     valid=None, settings: RasterSettings = RasterSettings(),
 ):
-    """Binning only: the aligned tile-pair list the packed renderer consumes.
+    """Binning only: the tile-pair list the packed renderer consumes.
 
     Used by the refine loop's ``rebin_every`` amortization: binning is
     ~25% of a refine step but the pair/tile assignment changes by far less
@@ -350,11 +352,9 @@ def build_pairs_packed(
         valid=valid,
         geometry=False,  # rect/depth/visibility only
     )
-    from igs_tpu.ops.binning import build_tile_pairs_aligned
-
     grid_x, grid_y = image_tile_grid(
         settings.image_height, settings.image_width)
-    pairs = build_tile_pairs_aligned(
+    pairs = build_tile_pairs(
         proj, grid_x, grid_y, settings.max_pairs)
     return jax.lax.stop_gradient(pairs)
 

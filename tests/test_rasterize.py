@@ -451,7 +451,10 @@ class TestOpacityAwareCulling:
 
 class TestStripRendering:
     """strip_row0 mode: a tile-row strip equals the matching rows of the
-    full render bit-for-bit (cross-chip refine sharding building block)."""
+    full render (cross-chip refine sharding building block). With the
+    unaligned packed pair list a tile's chunk grouping depends on its
+    segment's global offset, so strips match to float accuracy (last-ulp
+    associativity drift in the prefix dots), not bit-for-bit."""
 
     def test_strip_rows_exact(self):
         cam = make_camera()
@@ -466,8 +469,10 @@ class TestStripRendering:
                        strip_row0=jnp.int32(0))["color"]
         s1 = rasterize(**args, settings=strip_set,
                        strip_row0=jnp.int32(2))["color"]
-        np.testing.assert_array_equal(np.asarray(s0), np.asarray(full[:, :32]))
-        np.testing.assert_array_equal(np.asarray(s1), np.asarray(full[:, 32:]))
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(full[:, :32]), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(full[:, 32:]), atol=2e-6)
 
     def test_strip_grads_sum_to_full(self):
         cam = make_camera()

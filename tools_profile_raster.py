@@ -21,7 +21,7 @@ def main():
     ap.add_argument("--n", type=int, default=150_000)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--mode", default="color", choices=["color", "full"])
-    ap.add_argument("--K", type=int, default=8)
+    ap.add_argument("--K", type=int, default=32)
     ap.add_argument("--max-pairs", type=int, default=1 << 19)
     args = ap.parse_args()
 
@@ -33,7 +33,7 @@ def main():
     from igs_tpu.core.camera import Camera
     from igs_tpu.core.gaussians import Gaussians
     from igs_tpu.ops import pallas_blend as pb
-    from igs_tpu.ops.binning import build_tile_pairs_aligned
+    from igs_tpu.ops.binning import build_tile_pairs
     from igs_tpu.ops.projection import TILE_X, TILE_Y, project
 
     n, res, mode = args.n, args.res, args.mode
@@ -64,8 +64,8 @@ def main():
                 perturbed = [jax.tree.map(pert, x) for x in xs]
                 out = fn(*perturbed)
                 return c + jax.tree.reduce(
-                    lambda a, b: a + jnp.sum(b) * 0.0, out, 0.0), None
-            c, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
+                    lambda a, b: a + jnp.sum(jnp.abs(b.astype(jnp.float32))) * 1e-12, out, jnp.float32(0.0)), None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.float32))
             return c
         rj = jax.jit(repeated)
         jax.block_until_ready(rj(*xs))
@@ -89,7 +89,7 @@ def main():
     jax.block_until_ready(proj)
 
     def f_binning(proj):
-        return build_tile_pairs_aligned(
+        return build_tile_pairs(
             proj, grid_x, grid_y, max_pairs=args.max_pairs)
 
     pairs = jax.jit(f_binning)(proj)
@@ -99,13 +99,16 @@ def main():
 
     def f_gather(proj, gauss_id):
         feats = pb.pack_features(proj)[:, :lanes]
-        return feats[jnp.maximum(gauss_id, 0)].T  # (lanes, MPT)
+        pf = feats[jnp.maximum(gauss_id, 0)]
+        return jnp.pad(pf, ((0, 128), (0, 0))).T  # (lanes, MP+128)
 
     feats_t = jax.jit(f_gather)(proj, pairs.gauss_id)
     jax.block_until_ready(feats_t)
 
     scalars = jnp.concatenate(
-        [jnp.asarray([grid_x], jnp.float32), jnp.zeros(7, jnp.float32)])
+        [jnp.asarray([grid_x], jnp.float32),
+         pairs.num_pairs.astype(jnp.float32)[None],
+         jnp.zeros(6, jnp.float32)])
     counts = pairs.tile_count.astype(jnp.int32)
     starts = pairs.tile_start.astype(jnp.int32)
 
@@ -117,6 +120,9 @@ def main():
     jax.block_until_ready(raw)
 
     def f_outputs(raw):
+        if mode == "color":
+            return pb._raw_to_outputs_color(
+                raw, grid_x, grid_y, res, res, jnp.zeros(3))
         return pb._raw_to_outputs(
             raw, grid_x, grid_y, res, res, cam.focal_x, cam.focal_y,
             jnp.zeros(3))
@@ -134,7 +140,8 @@ def main():
     def f_scatter(dfeats_t, gauss_id):
         # the gather's AD transpose: per-pair grads → per-gaussian rows
         _, vjp = jax.vjp(
-            lambda f: f[jnp.maximum(gauss_id, 0)].T,
+            lambda f: jnp.pad(f[jnp.maximum(gauss_id, 0)],
+                              ((0, 128), (0, 0))).T,
             jnp.zeros((n, lanes), jnp.float32))
         return vjp(dfeats_t)
 
