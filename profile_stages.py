@@ -120,15 +120,15 @@ def main():
 
         results["refine/binning_s"] = scan_timeit(mk_binning, (proj.means2d,))
 
-        # ---- stage: packed-path pre-kernel work (aligned pair build +
+        # ---- stage: packed-path pre-kernel work (pair build +
         # feature pack + (MPT, 32) row gather + transpose)
-        from igs_tpu.ops.binning import build_tile_pairs_aligned
+        from igs_tpu.ops.binning import build_tile_pairs
         from igs_tpu.ops.pallas_blend import pack_features
 
         def mk_packed_bin():
             def fn(m2d):
                 p = proj._replace(means2d=m2d)
-                pairs = build_tile_pairs_aligned(
+                pairs = build_tile_pairs(
                     p, grid_x, grid_y, settings.max_pairs)
                 feats = pack_features(p)
                 pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]
