@@ -91,26 +91,13 @@ def main():
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
     args = (g.xyz, g.opacity, g.scaling, g.rotation, g.shs)
 
-    # amortize over K on-device iterations (tunnel dispatch otherwise
-    # dominates single-call timings)
-    K = 10
+    # timeit_device: K on-device salted repetitions per dispatch +
+    # host-fetch completion (block_until_ready does NOT block through the
+    # axon tunnel and identical calls return cached results — see
+    # igs_tpu/utils/devtime.py)
+    from igs_tpu.utils.devtime import timeit_device
 
-    def rep(xyz, *rest):
-        def body(c, i):
-            grads = grad_fn(xyz + 1e-9 * i, *rest)
-            return c + grads[0].ravel()[0], None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
-        return out
-
-    step = jax.jit(rep)
-    jax.block_until_ready(step(*args))
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        jax.block_until_ready(step(*args))
-        times.append(time.time() - t0)
-    dt = float(np.median(times)) / K
+    dt = timeit_device(grad_fn, *args, K=32, iters=5)
     mpix_s = h * w / dt / 1e6
     target_mpix_s = h * w * 1.0 / 1e6  # ≥1 streamed frame/sec @ 512²
     wd.cancel()

@@ -36,20 +36,27 @@ def _sort_pairs(tile_id, gauss_id, num_tiles):
     order as the stable sort, measured ~0.5 ms faster at a 655k-pair
     sort. Falls back to the stable 2-key sort when tile·slot doesn't fit
     32 bits (huge images + pair budgets).
+
+    Also returns ``slot_sorted``: each sorted pair's expansion slot (its
+    pre-sort position) — the segmented grad reduction (ops/segred.py)
+    inverts the sort with it.
     """
     n = tile_id.shape[0]
     shift = max(int(num_tiles + 1).bit_length(), 1)
     slot_bits = int(n - 1).bit_length()
     if shift + slot_bits > 32:  # pragma: no cover - giant configs only
-        ts, gs = jax.lax.sort((tile_id, gauss_id), num_keys=1,
-                              is_stable=True)
-        return ts, gs
+        slots = jnp.arange(n, dtype=jnp.int32)
+        ts, gs, ss = jax.lax.sort((tile_id, gauss_id, slots), num_keys=1,
+                                  is_stable=True)
+        return ts, gs, ss
     slots = jnp.arange(n, dtype=jnp.uint32)
     key = (tile_id.astype(jnp.uint32) << slot_bits) | slots
     key_sorted, gauss_sorted = jax.lax.sort(
         (key, gauss_id), num_keys=1, is_stable=False)
     tile_sorted = (key_sorted >> slot_bits).astype(jnp.int32)
-    return tile_sorted, gauss_sorted
+    slot_sorted = (key_sorted & jnp.uint32((1 << slot_bits) - 1)).astype(
+        jnp.int32)
+    return tile_sorted, gauss_sorted, slot_sorted
 
 
 class TilePairs(NamedTuple):
@@ -59,10 +66,17 @@ class TilePairs(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles,) int32 range starts
     tile_count: jnp.ndarray  # (num_tiles,) int32 range lengths
     overflowed: jnp.ndarray  # () bool — true if budget was exceeded
+    # — segmented grad-reduction aux (ops/segred.py): Gaussians are
+    # depth-sorted BEFORE expansion, so expansion-order pairs are
+    # contiguous per Gaussian —
+    exp_to_sorted: jnp.ndarray  # (max_pairs,) int32 expansion slot → sorted pos
+    exp_gauss_id: jnp.ndarray  # (max_pairs,) int32 gaussian id per expansion slot (-1 pad)
+    gauss_last_row: jnp.ndarray  # (N,) int32 expansion row of each gaussian's last pair, -1 if none (ORIGINAL gaussian order)
 
 
 def build_tile_pairs(
-    proj: ProjectedGaussians, grid_x: int, grid_y: int, max_pairs: int
+    proj: ProjectedGaussians, grid_x: int, grid_y: int, max_pairs: int,
+    segred_aux: bool = False,
 ) -> TilePairs:
     n = proj.depth.shape[0]
     num_tiles = grid_x * grid_y
@@ -110,7 +124,8 @@ def build_tile_pairs(
 
     # 3. (tile, input-order) sort — fused-key unstable sort, same order as
     # a stable tile sort (depth order preserved within tile)
-    tile_sorted, gauss_sorted = _sort_pairs(tile_id, gauss_id, num_tiles)
+    tile_sorted, gauss_sorted, slot_sorted = _sort_pairs(
+        tile_id, gauss_id, num_tiles)
 
     # 4. tile ranges by binary search over the SORTED ids — the scatter-add
     # histogram is a 655k-row microcoded scatter (~5.4 ms at this scale);
@@ -121,6 +136,30 @@ def build_tile_pairs(
     start = bounds[:num_tiles].astype(jnp.int32)
     counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
+    # 5. segmented grad-reduction aux (ops/segred.py) — only for the
+    # full-outputs backward, where the segred VJP beats the scatter
+    # (~3 ms at 512²/150k); the color backward measured FASTER with the
+    # plain scatter, so its binning skips the two aux sorts (~1 ms).
+    # Inverse permutations come from 2-lane unstable sorts of unique
+    # keys — the TPU-fast inversion (a scatter would be microcoded):
+    #   exp_to_sorted[e] = sorted position of expansion slot e
+    #   gauss_last_row[g] = expansion row of g's last pair (orig. order)
+    if segred_aux:
+        _, exp_to_sorted = jax.lax.sort(
+            (slot_sorted, jnp.arange(max_pairs, dtype=jnp.int32)),
+            num_keys=1, is_stable=False)
+        ends_d = jnp.minimum(offsets, max_pairs).astype(jnp.int32) - 1
+        has_pairs = (tiles_touched > 0) & (
+            base < jnp.minimum(total, max_pairs))
+        last_row_d = jnp.where(has_pairs, ends_d, -1)
+        _, gauss_last_row = jax.lax.sort(
+            (order.astype(jnp.int32), last_row_d), num_keys=1,
+            is_stable=False)
+        exp_gauss_id = gauss_id
+    else:
+        empty = jnp.zeros((0,), jnp.int32)
+        exp_to_sorted = exp_gauss_id = gauss_last_row = empty
+
     return TilePairs(
         gauss_id=gauss_sorted,
         tile_id=tile_sorted,
@@ -128,6 +167,9 @@ def build_tile_pairs(
         tile_start=start,
         tile_count=counts,
         overflowed=total > max_pairs,
+        exp_to_sorted=exp_to_sorted,
+        exp_gauss_id=exp_gauss_id,
+        gauss_last_row=gauss_last_row,
     )
 
 

@@ -1559,7 +1559,20 @@ def render_tiles_pallas_packed(
         # gather, the kernel DMA traffic, and the AD scatter-add
         feats = feats[:, :16]
     assert pairs.gauss_id.shape[0] % 128 == 0, "max_pairs must be 128-aligned"
-    pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MP, lanes)
+    if pairs.gauss_last_row.size > 0:
+        # full mode: per-pair feature gather whose VJP avoids the
+        # microcoded (MP, L) → (N, L) scatter-add — inverse-permute +
+        # Pallas segmented scan + boundary gather (ops/segred.py; ~3 ms
+        # faster than the scatter at 524k pairs / 150k on v5e). The
+        # color backward measured FASTER with the plain scatter (A/B in
+        # tools_bench_segred_ab.py), so color binning omits the aux.
+        from igs_tpu.ops.segred import gather_pairs
+
+        pair_feats = gather_pairs(
+            feats, pairs.gauss_id, pairs.exp_to_sorted, pairs.exp_gauss_id,
+            pairs.gauss_last_row, interpret)  # (MP, lanes)
+    else:
+        pair_feats = feats[jnp.maximum(pairs.gauss_id, 0)]  # (MP, lanes)
     # +1 window of pad rows: the backward's dump block for skipped
     # boundary-window copies (pad's VJP slices the grads back to MP rows)
     pair_feats = jnp.pad(pair_feats, ((0, 128), (0, 0)))

@@ -140,8 +140,12 @@ def _rasterize_impl(
                 # loop's rebin_every amortization (stream/refine.py)
                 pairs = pairs_override
             else:
+                # segred VJP only pays off for the full-outputs backward
+                # (frame-0 training, bench); color/color_depth keep the
+                # plain scatter and skip the aux sorts (A/B in PERF.md r3b)
                 pairs = build_tile_pairs(
-                    proj, grid_x, grid_y, settings.max_pairs)
+                    proj, grid_x, grid_y, settings.max_pairs,
+                    segred_aux=settings.outputs == "full")
             out = render_tiles_pallas_packed(
                 proj, pairs, h, w, fx, fy, bg,
                 interpret=settings.pallas_interpret,

@@ -20,34 +20,11 @@ import numpy as np
 
 
 def scan_timeit(make_fn, args, K=8, iters=3):
-    """Time fn amortized over K on-device repetitions inside one program."""
-    import jax
-    import jax.numpy as jnp
+    """Time fn amortized over K on-device salted repetitions (see
+    igs_tpu/utils/devtime.py for the axon-tunnel caveats)."""
+    from igs_tpu.utils.devtime import timeit_device
 
-    fn = make_fn()
-
-    def repeated(*a):
-        def body(carry, i):
-            # perturb the first array arg slightly to defeat CSE
-            a2 = list(a)
-            a2[0] = a2[0] + 1e-6 * i
-            out = fn(*a2)
-            s = jax.tree.reduce(
-                lambda acc, x: acc + jnp.sum(x) * 0.0, out, 0.0
-            )
-            return carry + s, None
-
-        c, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
-        return c
-
-    rj = jax.jit(repeated)
-    jax.block_until_ready(rj(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        jax.block_until_ready(rj(*args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) / K
+    return timeit_device(make_fn(), *args, K=K, iters=iters, salt_scale=1e-6)
 
 
 def main():

@@ -21,15 +21,11 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=5, K=1):
-    import jax
+    # salted + host-fetch timing (the axon tunnel caches identical calls
+    # and block_until_ready does not block — igs_tpu/utils/devtime.py)
+    from igs_tpu.utils.devtime import timeit_device
 
-    jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) / K
+    return timeit_device(fn, *args, K=max(K, 1), iters=iters)
 
 
 def main():
@@ -86,14 +82,14 @@ def main():
     sel = jax.jit(lambda x, v: select_anchors(x, bbox, valid=v,
                                               anchor_size=a, k=8,
                                               exact_knn=False))
-    results["anchors_s"] = timeit(sel, g.xyz, g.valid)
+    results["anchors_s"] = timeit(sel, g.xyz, g.valid, K=8)
 
     # 2. rasterize fwd / fwd+bwd
     fwd = jax.jit(lambda x: rasterize(
         means3d=x, opacity=g.get_opacity, scaling=g.get_scaling,
         rotation=g.get_rotation, camera=cam, shs=g.shs,
         settings=settings)["color"])
-    results["raster_fwd_s"] = timeit(fwd, g.xyz)
+    results["raster_fwd_s"] = timeit(fwd, g.xyz, K=16)
 
     def loss(x):
         out = rasterize(
@@ -103,7 +99,7 @@ def main():
         return jnp.mean(jnp.abs(out["color"]))
 
     fb = jax.jit(jax.grad(loss))
-    results["raster_fwd_bwd_s"] = timeit(fb, g.xyz)
+    results["raster_fwd_bwd_s"] = timeit(fb, g.xyz, K=16)
     results["raster_fwd_bwd_mpix_s"] = res * res / results[
         "raster_fwd_bwd_s"] / 1e6
 
@@ -163,7 +159,7 @@ def main():
     napply = jax.jit(lambda p, bt: model.apply(
         p, bt, astate, gb, agm_settings,
         depth_settings=depth_settings)["images_pred"])
-    results["agm_forward_s"] = timeit(napply, params, batch, iters=3)
+    results["agm_forward_s"] = timeit(napply, params, batch, iters=3, K=4)
 
     # derived: streaming sec/frame for a 5-frame key window
     window = (
