@@ -358,8 +358,13 @@ def build_pairs_packed(
     )
     grid_x, grid_y = image_tile_grid(
         settings.image_height, settings.image_width)
+    # keep the segred aux tables in the cached list too — without them the
+    # full-outputs backward silently falls back to the scatter VJP when fed
+    # stale pairs (pallas_blend gates on gauss_last_row.size). The aux is
+    # stop_gradient'd with the rest, so staleness semantics are unchanged.
     pairs = build_tile_pairs(
-        proj, grid_x, grid_y, settings.max_pairs)
+        proj, grid_x, grid_y, settings.max_pairs,
+        segred_aux=settings.outputs == "full")
     return jax.lax.stop_gradient(pairs)
 
 

@@ -18,9 +18,13 @@ each Gaussian form one contiguous segment. The backward then becomes
      per-Gaussian boundary rows binning precomputed.
 
 No scatter anywhere; every step is a contiguous stream or a wide gather.
-Equivalent to ``jax.ops.segment_sum`` up to f32 summation order (the scan
-adds in expansion order; segment_sum adds in the same order, so sums
-match to reassociation of the Hillis-Steele tree).
+Accuracy: the scan's MXU dots run a bf16 hi/lo split (x = hi + lo with hi
+= bf16(x)); the lo pass itself is truncated to bf16 by Precision.DEFAULT,
+so the result carries ~bf16² precision — a ~2^-17 relative error bound vs
+the exact-f32 scatter-add, NOT full f32-reassociation equivalence. That
+bound sits well under the 1e-4 gradient-parity tolerances used by the
+tests; if parity with the scatter path ever tightens below ~1e-5, split
+``lo`` into a second hi/lo level (a third dot) to recover ~f32.
 
 Reference semantics being replaced: the CUDA backward's atomicAdd
 accumulation into per-Gaussian grads (backward.cu:631-1016).

@@ -93,12 +93,16 @@ def make_optimizer(params, cfg: OptConfig, total_steps: int,
     return tx, sched
 
 
-def compute_loss(out: Dict, gt_images: jnp.ndarray, cfg: OptConfig):
+def compute_loss(out: Dict, gt_images: jnp.ndarray, cfg: OptConfig,
+                 lpips_fn=None):
     """main.py:252-275."""
     pred = out["images_pred"]  # (B, V, 3, H, W)
     loss = 0.0
     metrics = {}
     if cfg.lambda_rgb > 0:
+        # parity quirk: the reference logs the L1 under the key "loss_mse"
+        # (main.py:256) — kept verbatim so log schemas line up; do NOT
+        # "fix" this into an actual MSE.
         lm = l1_loss(pred, gt_images)
         metrics["loss_mse"] = lm
         loss = loss + cfg.lambda_rgb * lm
@@ -108,6 +112,18 @@ def compute_loss(out: Dict, gt_images: jnp.ndarray, cfg: OptConfig):
                     gt_images.reshape(b * v, *gt_images.shape[2:]))
         metrics["loss_ssim"] = 1.0 - s
         loss = loss + cfg.lambda_ssim * (1.0 - s)
+    if cfg.lambda_lpips > 0 and lpips_fn is not None:
+        # main.py:267-275: both images ×2−1, bilinear-downsampled to 256²
+        # (align_corners=False ≡ jax.image.resize half-pixel centers),
+        # VGG-LPIPS, mean over (B·V).
+        b, v = pred.shape[:2]
+        def prep(img):
+            flat = img.reshape(b * v, *img.shape[2:]) * 2.0 - 1.0
+            return jax.image.resize(
+                flat, (b * v, flat.shape[1], 256, 256), method="bilinear")
+        ll = jnp.mean(lpips_fn(prep(gt_images), prep(pred)))
+        metrics["loss_lpips"] = ll
+        loss = loss + cfg.lambda_lpips * ll
     metrics["psnr"] = psnr_fn(jax.lax.stop_gradient(pred), gt_images)
     metrics["loss"] = loss
     return loss, metrics
@@ -119,16 +135,39 @@ def make_train_step(
     cfg: OptConfig,
     settings: RasterSettings,
     mesh=None,
+    lpips_params=None,
 ):
     """Build the jitted DP train step.
 
     With a mesh, the batch/anchors/gaussians carry a leading ``data``-sharded
     axis and params are replicated; XLA inserts the gradient all-reduce.
+
+    ``lpips_params``: frozen flax LPIPS params (train/lpips.py), required
+    when cfg.lambda_lpips > 0. They are closed over (never trained,
+    main.py:216-219 requires_grad_(False)) and initialized randomly with a
+    warning if omitted — metric-grade LPIPS needs converted VGG weights.
     """
 
     half = (
         jnp.bfloat16 if cfg.mixed_precision in ("fp16", "bf16") else None
     )
+
+    lpips_fn = None
+    if cfg.lambda_lpips > 0:
+        from igs_tpu.train.lpips import LPIPS
+
+        lpips_model = LPIPS()
+        if lpips_params is None:
+            import warnings
+
+            warnings.warn(
+                "lambda_lpips > 0 without lpips_params: using randomly "
+                "initialized VGG — pass converted weights for a real LPIPS")
+            dummy = jnp.zeros((1, 3, 64, 64))
+            lpips_params = lpips_model.init(
+                jax.random.PRNGKey(0), dummy, dummy)
+        frozen_lp = jax.tree.map(jax.lax.stop_gradient, lpips_params)
+        lpips_fn = lambda x, y: lpips_model.apply(frozen_lp, x, y)
 
     def step(params, opt_state, batch, anchor_state, gaussians):
         def loss_fn(p):
@@ -145,7 +184,8 @@ def make_train_step(
                 for k in ("cur_images_input", "next_images_input"):
                     b[k] = batch[k].astype(half)
             out = model.apply(p, b, anchor_state, gaussians, settings)
-            return compute_loss(out, batch["images_output"], cfg)
+            return compute_loss(out, batch["images_output"], cfg,
+                                lpips_fn=lpips_fn)
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -166,6 +206,35 @@ def make_train_step(
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
+
+
+def run_guarded_step(step_fn, workspace: str, global_step: int,
+                     params, opt_state, *step_args):
+    """Run one train step; on failure save state to <workspace>/crash/.
+
+    Parity: the reference wraps ``accelerator.backward`` and saves full
+    trainer state to ``<workspace>/error`` before re-raising
+    (main.py:278-287). ``--resume <workspace>/crash/params.msgpack``
+    restores it. The save itself is best-effort: with ``donate_argnums``
+    a device-side failure may have invalidated the input buffers.
+    """
+    import os
+
+    try:
+        params, opt_state, metrics = step_fn(params, opt_state, *step_args)
+        jax.block_until_ready(metrics["loss"])
+        return params, opt_state, metrics
+    except Exception:
+        crash_dir = os.path.join(workspace, "crash")
+        print(f"train step failed at step {global_step}; "
+              f"saving state to {crash_dir}")
+        try:
+            save_checkpoint(
+                os.path.join(crash_dir, "params.msgpack"),
+                params, opt_state, step=global_step)
+        except Exception as se:  # donated buffers may be gone
+            print(f"crash-save failed: {se}")
+        raise
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):

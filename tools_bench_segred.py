@@ -63,7 +63,7 @@ def main():
            dpair, gid)
     timeit("row gather (MP,16) perm", lambda s, d, p: (d + s)[p], dpair, perm)
     timeit("argsort i32 (MP,)",
-           lambda s, g: jnp.argsort(g + s.astype(jnp.int32) * 0), gid)
+           lambda s, g: jnp.argsort(g + (s.astype(jnp.int32) % 2)), gid)
     timeit("boundary gather (N of MP,16)",
            lambda s, d, b: (d + s)[b], dpair, brow)
 

@@ -43,7 +43,7 @@ def main():
     from igs_tpu.ops.anchors import select_anchors
     from igs_tpu.parallel.mesh import make_mesh, shard_batch
     from igs_tpu.train.driver import (
-        make_optimizer, make_train_step, save_checkpoint,
+        make_optimizer, make_train_step, run_guarded_step, save_checkpoint,
     )
 
     cfg = load_config(args.config, cli_args=extras)
@@ -170,7 +170,25 @@ def main():
         with open(resume_opt, "rb") as f:
             opt_state = serialization.from_bytes(opt_state, f.read())
         print(f"restored optimizer state from {resume_opt}")
-    step_fn = make_train_step(model, tx, ocfg, settings, mesh=mesh)
+    # kiui-LPIPS training term (main.py:216-219): converted VGG weights
+    # from opt.lpips_weights (torch state_dict), frozen, closed over
+    lpips_params = None
+    if ocfg.lambda_lpips > 0:
+        from igs_tpu.train.lpips import LPIPS, load_torch_lpips
+
+        lp_model = LPIPS()
+        dummy = jnp.zeros((1, 3, 64, 64))
+        lpips_params = lp_model.init(jax.random.PRNGKey(0), dummy, dummy)
+        lp_path = opt.get("lpips_weights", "")
+        if lp_path and os.path.exists(lp_path):
+            lpips_params, n_lp = load_torch_lpips(
+                lpips_params, load_torch_file(lp_path))
+            print(f"loaded {n_lp} LPIPS tensors from {lp_path}")
+        else:
+            print("[WARN] lambda_lpips > 0 but no opt.lpips_weights — "
+                  "LPIPS uses a random VGG")
+    step_fn = make_train_step(model, tx, ocfg, settings, mesh=mesh,
+                              lpips_params=lpips_params)
 
     log_path = os.path.join(workspace, "log.jsonl")
     global_step = start_epoch * steps_per_epoch
@@ -190,9 +208,10 @@ def main():
                 anchor_state = shard_batch(mesh, anchor_state)
                 gaussians = shard_batch(mesh, gaussians)
             t0 = time.time()
-            params, opt_state, metrics = step_fn(
+            # save-state-on-failure (main.py:278-287) inside the guard
+            params, opt_state, metrics = run_guarded_step(
+                step_fn, workspace, global_step,
                 params, opt_state, batch, anchor_state, gaussians)
-            jax.block_until_ready(metrics["loss"])
             global_step += 1
             if global_step % 10 == 0 or global_step == 1:
                 rec = {
