@@ -438,6 +438,23 @@ class StreamingPipeline:
         }
         with open(os.path.join(cfg.workspace, "results.json"), "w") as f:
             json.dump(results, f, indent=2)
+        if cfg.free_view:
+            # free-view video export (SaverMixin.save_img_sequence,
+            # igs/utils/saving.py:236-315 / video.ipynb): assemble the
+            # per-frame PNGs written above into one playable file
+            import glob
+
+            from igs_tpu.utils.saving import save_video
+
+            pngs = sorted(glob.glob(
+                os.path.join(cfg.workspace, "free_view", "*.png")))
+            if pngs:
+                from PIL import Image
+
+                frames = [np.asarray(Image.open(p)) / 255.0 for p in pngs]
+                save_video(
+                    os.path.join(cfg.workspace, "free_view.mp4"),
+                    frames, fps=30)
         if cfg.save_images:
             from PIL import Image
 

@@ -57,20 +57,96 @@ def save_depth_mm(path: str, depth: np.ndarray):
 
 
 def save_video(path: str, frames: List[np.ndarray], fps: int = 30):
-    """mp4/gif via imageio (SaverMixin.save_img_sequence / video.ipynb)."""
+    """Video export (SaverMixin.save_img_sequence / video.ipynb).
+
+    mp4 goes through imageio when an ffmpeg backend exists; without one
+    (this image ships none) the writer falls back to a dependency-free
+    MJPEG-in-AVI container (``save_video_avi``) next to the requested
+    path — still a playable file — or to gif for .gif requests.
+    """
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames8 = [to_uint8_image(f) for f in frames]
     if path.endswith(".gif"):
         imageio.mimsave(path, frames8, fps=fps)
-    else:
-        try:
-            imageio.mimsave(path, frames8, fps=fps, macro_block_size=1)
-        except Exception:
-            # ffmpeg may be unavailable; fall back to gif next to it
-            imageio.mimsave(os.path.splitext(path)[0] + ".gif", frames8,
-                            fps=fps)
+        return path
+    if path.endswith(".avi"):
+        return save_video_avi(path, frames8, fps=fps)
+    try:
+        imageio.mimsave(path, frames8, fps=fps, macro_block_size=1)
+        return path
+    except Exception:
+        return save_video_avi(
+            os.path.splitext(path)[0] + ".avi", frames8, fps=fps)
+
+
+def save_video_avi(path: str, frames: List[np.ndarray], fps: int = 30,
+                   quality: int = 92) -> str:
+    """Minimal MJPEG-in-AVI writer — no codec dependencies.
+
+    Writes the public AVI RIFF layout (hdrl/movi/idx1) with one 'vids'
+    stream of JPEG frames ('MJPG' fourcc); every mainstream player
+    decodes it. Used as the video path in environments without ffmpeg.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames8 = [to_uint8_image(f) for f in frames]
+    h, w = frames8[0].shape[:2]
+    jpegs = []
+    for f in frames8:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:
+            data += b"\x00"
+        jpegs.append(data)
+    max_size = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_size * fps,    # max bytes/sec
+        0,                 # padding granularity
+        0x10,              # AVIF_HASINDEX
+        len(jpegs), 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I4h", 0, 0, 0, 1, fps, 0, len(jpegs),
+                      max_size, 0xFFFFFFFF, 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H4s5I", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b""
+    index = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the first byte of 'movi' (the kind
+        # fourcc inside the LIST payload)
+        offset = 4 + len(movi_payload)
+        movi_payload += chunk(b"00dc", j)
+        index += b"00dc" + struct.pack("<3I", 0x10, offset, len(j))
+    movi = lst(b"movi", movi_payload)
+    idx1 = chunk(b"idx1", index)
+
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
+    return path
 
 
 def save_runtime_code(workspace: str, src_root: Optional[str] = None):

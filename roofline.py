@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--depth-res", type=int, default=128)
     ap.add_argument("--out", default="roofline.json")
     ap.add_argument("--cnn-bf16", action="store_true")
+    ap.add_argument("--encoder-bf16", action="store_true")
+    ap.add_argument("--rebin-every", type=int, default=1,
+                    help="refine-loop tile-pair rebuild interval "
+                         "(RefineConfig.rebin_every; pallas_packed only)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +111,7 @@ def main():
     from igs_tpu.stream.refine import refine_run
 
     state = init_refine_state(g, capacity=n)
-    rcfg = RefineConfig()
+    rcfg = RefineConfig(rebin_every=args.rebin_every)
     nviews = 18  # sear_steak training views
     gts = jnp.zeros((nviews, 3, res, res))
     cams = jax.tree.map(
@@ -124,8 +128,7 @@ def main():
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
-    model = AGMNet(cnn_bf16=args.cnn_bf16)  # production config (f32; bf16
-    # encoder measured SLOWER on v5e — cast overhead breaks fusion)
+    model = AGMNet(cnn_bf16=args.cnn_bf16, encoder_bf16=args.encoder_bf16)
     state1 = sel(g.xyz, g.valid)
     astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
     gb = jax.tree.map(lambda x: jnp.stack([x] * b), g)
