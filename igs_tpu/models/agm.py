@@ -93,13 +93,14 @@ class AGMNet(nn.Module):
             name="render",
         )
 
-    def motion_features(self, cur_images, next_images):
+    def motion_features(self, cur_images, next_images, cur_tile: int = 1):
         """(B·V, 3, H, W) ×2 → motion feature (B·V, C, h, w).
 
         Parity: IGS.py:123-134 (backbone frozen via stop_gradient, motion
-        transformer, optional 2× upsample + 3×3 conv).
+        transformer, optional 2× upsample + 3×3 conv). ``cur_tile``: see
+        UniMatch.__call__ — shared-cur CNN dedup for streaming windows.
         """
-        f0, f1 = self.backbone(cur_images, next_images)
+        f0, f1 = self.backbone(cur_images, next_images, img0_tile=cur_tile)
         f0 = jax.lax.stop_gradient(f0)
         f1 = jax.lax.stop_gradient(f1)
         if self.fine_tune_backbone:
@@ -145,6 +146,7 @@ class AGMNet(nn.Module):
         gaussians: Gaussians,  # batched (B leading axis)
         settings: RasterSettings,
         depth_settings: Optional[RasterSettings] = None,
+        shared_cur: bool = False,
     ) -> Dict[str, Any]:
         """Run AGM-Net on a batch. Parity: _forward_v3 (IGS.py:114-181).
 
@@ -155,10 +157,16 @@ class AGMNet(nn.Module):
           background_color (B, 3), resolution static via ``settings``.
         """
         b, v, c, hh, ww = batch["cur_images_input"].shape
-        cur = batch["cur_images_input"].reshape(-1, c, hh, ww)
         nxt = batch["next_images_input"].reshape(-1, c, hh, ww)
 
-        motion = self.motion_features(cur, nxt)
+        if shared_cur and b > 1:
+            # streaming window: every candidate shares the key frame as
+            # cur — run its CNN once (UniMatch.img0_tile)
+            cur = batch["cur_images_input"][0]
+            motion = self.motion_features(cur, nxt, cur_tile=b)
+        else:
+            cur = batch["cur_images_input"].reshape(-1, c, hh, ww)
+            motion = self.motion_features(cur, nxt)
         if self.use_condition3d:
             motion = self.condition3d(motion, batch["local_rays"], batch["depth"])
 

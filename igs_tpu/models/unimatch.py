@@ -41,13 +41,25 @@ class UniMatch(nn.Module):
     cnn_dtype: object = None  # bf16 compute for the CNN encoder (HBM-bound)
 
     @nn.compact
-    def __call__(self, img0, img1):
-        """img0/img1: (B, 3, H, W) in [0, 255] → two (B, C, H/8, W/8)."""
+    def __call__(self, img0, img1, img0_tile: int = 1):
+        """img0/img1: (B, 3, H, W) in [0, 255] → two (B, C, H/8, W/8).
+
+        ``img0_tile > 1``: img0 holds only B/img0_tile unique images whose
+        CNN features are computed once and tiled back to B — the streaming
+        window's candidates all share the key frame as ``cur``
+        (infer_data pairs json: one cur_frame per window), so the
+        reference recomputes identical CNN features eval_batch_size times
+        (IGS.py:123). Numerically identical (per-image InstanceNorm, no
+        cross-batch coupling); the transformer still runs per pair.
+        """
         img0, img1 = normalize_img(img0, img1)
         concat = jnp.concatenate([img0, img1], axis=0)
         feats = CNNEncoder(self.feature_channels, dtype=self.cnn_dtype,
                            name="backbone")(concat)
-        feature0, feature1 = jnp.split(feats, 2, axis=0)
+        n0 = img0.shape[0]
+        feature0, feature1 = feats[:n0], feats[n0:]
+        if img0_tile > 1:
+            feature0 = jnp.tile(feature0, (img0_tile, 1, 1, 1))
         feature0, feature1 = feature_add_position(
             feature0, feature1, self.attn_splits, self.feature_channels
         )

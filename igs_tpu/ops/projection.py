@@ -305,11 +305,20 @@ def _geometry_extras(rotation, scaling, scale_modifier, r_view, txtz, tytz,
     length_t = safe_norm(jnp.stack([tx, ty, tz], -1))
     vbn = jnp.einsum("ni,ni->n", uvh_mn, uvh)
     denom = jnp.maximum(vbn, 1e-7)
-    # plane = nJ_inv @ (uvh_mn / vbn); nJ_inv rows: [v²+1,-uv,0],[-uv,u²+1,0]
+    # plane = nJ_inv·(uvh_mn/vbn) (forward.cu:181-244). glm column-major:
+    # nJ_inv's columns are (v²+1,-uv,0), (-uv,u²+1,0), (-u,-v,0), so the
+    # product rows are
+    #   plane0 = (v²+1)·w0 − uv·w1 − u·w2
+    #   plane1 = −uv·w0 + (u²+1)·w1 − v·w2
+    # Round-4 audit fix: a first transcription read the constructor
+    # row-major and dropped the w2 (third-component) terms, warping the
+    # depth/coord gradient across each splat (AUDIT.md §planes; the
+    # thin-disc ray-intersection test below is the independent witness).
     q0 = uvh_mn[:, 0] / denom
     q1 = uvh_mn[:, 1] / denom
-    plane0 = (v2 + 1.0) * q0 - uv * q1
-    plane1 = -uv * q0 + (u2 + 1.0) * q1
+    q2 = uvh_mn[:, 2] / denom
+    plane0 = (v2 + 1.0) * q0 - uv * q1 - u * q2
+    plane1 = -uv * q0 + (u2 + 1.0) * q1 - v * q2
 
     cpx = jnp.stack(
         [(-(v2 + 1.0) * tz + plane0 * tx) / nl / fx, (uv * tz + plane1 * tx) / nl / fy],
@@ -330,10 +339,20 @@ def _geometry_extras(rotation, scaling, scale_modifier, r_view, txtz, tytz,
     factor_normal = length_t / nl
     rnv0 = -plane0 * factor_normal
     rnv1 = -plane1 * factor_normal
-    # cam_normal = nJ @ rnv; nJ rows: [1/tz,0,-tx/tz²],[0,1/tz,-ty/tz²],[tx/l,ty/l,tz/l]
-    cn0 = rnv0 * inv_tz + tx * inv_tz2
-    cn1 = rnv1 * inv_tz + ty * inv_tz2
-    cn2 = (rnv0 * tx + rnv1 * ty - tz) / jnp.maximum(length_t, 1e-12)
+    # cam_normal = nJ·rnv (forward.cu:259-260). glm's mat3 constructor is
+    # COLUMN-major (the reference's own commented printf test at
+    # forward.cu:127-132 confirms: mat3{1,2,3,4,5,6,7,8,9}·(1,1,1) =
+    # (12,15,18) = column sums), so nJ's columns are
+    # (1/tz,0,-tx/tz²), (0,1/tz,-ty/tz²), (tx/l,ty/l,tz/l) and with
+    # rnv = (rnv0, rnv1, -1):
+    #   cn = rnv0·col0 + rnv1·col1 − col2
+    # i.e. the TRANSPOSED-Jacobian (covector) transform of the ray-space
+    # normal — round-4 audit fix: a first transcription read the
+    # constructor row-major and computed nJᵀ·rnv (AUDIT.md §normal).
+    inv_l = 1.0 / jnp.maximum(length_t, 1e-12)
+    cn0 = rnv0 * inv_tz - tx * inv_l
+    cn1 = rnv1 * inv_tz - ty * inv_l
+    cn2 = -(rnv0 * tx + rnv1 * ty) * inv_tz2 - tz * inv_l
     cam_normal = jnp.stack([cn0, cn1, cn2], -1)
     normal = safe_normalize(cam_normal)
 

@@ -64,6 +64,10 @@ class StreamConfig:
     # tile-row strips, the ``tile`` mesh axis); 1 = single-device. The
     # image's tile-row count must be divisible.
     refine_parallel: int = 1
+    # compute the key frame's CNN features once per window instead of
+    # per candidate (every item in a streaming window shares cur_frame);
+    # verified against the first batch at runtime, numerically identical
+    shared_cur_cnn: bool = True
 
 
 class StreamingPipeline:
@@ -128,6 +132,7 @@ class StreamingPipeline:
                 lambda params, batch, state, gaussians: model.apply(
                     params, batch, state, gaussians, self.agm_settings,
                     depth_settings=self.depth_settings,
+                    shared_cur=cfg.shared_cur_cnn,
                 )
             )
         self._select_anchors = jax.jit(
@@ -296,6 +301,17 @@ class StreamingPipeline:
                 start_gs = batch["gs"][0].pad_to(cfg.max_num)
                 depth = jnp.asarray(batch["depth"])  # (B, V, H, W)
                 fps = self.test_rendering_speed(start_gs, batch)
+                if cfg.shared_cur_cnn and self.mesh is None and bsz > 1:
+                    # the shared-cur CNN dedup assumes every candidate in
+                    # a window shares the key frame — verify on the first
+                    # batch instead of trusting the pairs json
+                    cur = np.asarray(batch["cur_images_input"])
+                    if not all(np.array_equal(cur[0], cur[i])
+                               for i in range(1, cur.shape[0])):
+                        raise ValueError(
+                            "shared_cur_cnn=True but cur_images_input "
+                            "differs within the batch — set "
+                            "stream.shared_cur_cnn=false for this pairing")
             else:
                 depth = jnp.broadcast_to(
                     depth_pred, (bsz,) + depth_pred.shape[1:]

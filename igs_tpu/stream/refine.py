@@ -66,12 +66,14 @@ class RefineConfig(NamedTuple):
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-15
-    # rebuild the tile-pair list every K iterations instead of every
-    # iteration (binning is ~25% of a refine step; per-step position
-    # deltas are ≪ one 16px tile, so tile assignment/depth order go at
-    # most K-1 tiny steps stale — per-iteration FEATURES stay fresh and
-    # densify forces an immediate rebuild). 1 = exact per-iteration
-    # binning (the reference's behavior); pallas_packed impl only.
+    # Pair-cache staleness bound in ADAM STEPS: each view's tile-pair
+    # list is prebuilt once and rebuilt only when staler than K steps
+    # (in-context binning is ~8 ms of a ~30 ms step; per-step position
+    # deltas are ≪ one 16px tile, so tile assignment/depth order drift
+    # slowly — per-iteration FEATURES stay fresh and densify forces a
+    # full cache rebuild). 1 = exact per-iteration binning (the
+    # reference's behavior); >1 requires impl="pallas_packed". A value
+    # ≥ the refine iteration count freezes the prebuilt lists.
     rebin_every: int = 1
 
     def lr_for(self, name: str) -> float:
@@ -476,8 +478,23 @@ def _refine_run_rebin(
     extent,
     iters: int,
 ) -> RefineState:
-    """refine_run with per-view pair lists rebuilt every cfg.rebin_every
-    uses (pallas_packed only — see RefineConfig.rebin_every)."""
+    """refine_run with cached per-view pair lists, rebuilt when staler
+    than ``cfg.rebin_every`` ADAM STEPS (pallas_packed only).
+
+    Round-4 machinery findings (tools_bench_rebin*.py at 150k/512²/50it):
+      * in-context binning is 8.2 ms of the 29.7 ms step; a read-only
+        prebuilt pair stack reaches 26.6 ms/step,
+      * the original cache recovered only 0.3 ms because its lax.cond
+        carried the ENTIRE RefineState as an explicit operand — with the
+        cond restricted to the five gaussian arrays the full win appears
+        (v1_mincond 26.86 ms/step),
+      * staleness is only meaningful in Adam steps: counting USES made
+        K=4 equal to fully-frozen on an 18-view rig (reuse distance 18).
+    All views are prebuilt once before the loop; view v rebuilds when
+    ``it - built_step[v] >= rebin_every``; densify/prune invalidates the
+    whole cache. Per-iteration features always come from the CURRENT
+    parameters — only tile assignment and per-tile depth order go stale.
+    """
     from igs_tpu.ops.rasterize import build_pairs_packed
 
     if settings.impl != "pallas_packed":
@@ -485,36 +502,40 @@ def _refine_run_rebin(
             "rebin_every > 1 requires settings.impl == 'pallas_packed'")
     nviews = gt_images.shape[0]
 
-    def build_for(g: Gaussians, v):
+    def build_view(xyz, opac, scal, rot, vald, v):
         cam = jax.tree.map(lambda x: x[v], cameras)
         return build_pairs_packed(
-            g.get_xyz, g.get_opacity, g.get_scaling, g.get_rotation,
-            cam, valid=g.valid, settings=settings)
+            xyz, opac, scal, rot, cam, valid=vald, settings=settings)
 
-    # dummy-init stack; ages start at 0 so every view rebuilds on first use
-    shapes = jax.eval_shape(build_for, state.gaussians, 0)
-    pstack0 = jax.tree.map(
-        lambda s: jnp.zeros((nviews,) + s.shape, s.dtype), shapes)
-    ages0 = jnp.zeros((nviews,), jnp.int32)
+    g0 = state.gaussians
+    pstack0 = jax.vmap(
+        lambda v: build_view(g0.get_xyz, g0.get_opacity, g0.get_scaling,
+                             g0.get_rotation, g0.valid, v),
+        in_axes=0,
+    )(jnp.arange(nviews))
+    built0 = jnp.zeros((nviews,), jnp.int32)  # prebuilt "at step 0"
 
     def body(it, carry):
-        st, pstack, ages = carry
+        st, pstack, built = carry
         v = view_order[it]
         cam = jax.tree.map(lambda x: x[v], cameras)
         gt = gt_images[v]
-        need = ages[v] <= 0
+        need = (it - built[v]) >= jnp.int32(cfg.rebin_every)
         pv_old = jax.tree.map(lambda x: x[v], pstack)
+        g = st.gaussians
+        # cond operands: ONLY the activated gaussian arrays + cached pv.
+        # Passing the whole RefineState here cost ~4 ms/step.
         pv = jax.lax.cond(
             need,
-            lambda args: build_for(args[0].gaussians, v),
-            lambda args: args[1],
-            (st, pv_old),
+            lambda op: build_view(op[0], op[1], op[2], op[3], op[4], v),
+            lambda op: op[5],
+            (g.get_xyz, g.get_opacity, g.get_scaling, g.get_rotation,
+             g.valid, pv_old),
         )
         pstack = jax.tree.map(
             lambda s, p: jax.lax.dynamic_update_index_in_dim(s, p, v, 0),
             pstack, pv)
-        ages = ages.at[v].set(
-            jnp.where(need, jnp.int32(cfg.rebin_every - 1), ages[v] - 1))
+        built = built.at[v].set(jnp.where(need, it, built[v]))
 
         st, _ = refine_step(st, cam, gt, bg, cfg, settings,
                             pairs_override=pv)
@@ -532,10 +553,12 @@ def _refine_run_rebin(
             )
             # densify/prune changed the gaussian set: every cached pair
             # list is invalid — force rebuild on each view's next use
-            ages = jnp.where(do_dens, jnp.zeros_like(ages), ages)
-        return st, pstack, ages
+            built = jnp.where(do_dens,
+                              jnp.full_like(built, -(cfg.rebin_every + 1)),
+                              built)
+        return st, pstack, built
 
-    st, _, _ = jax.lax.fori_loop(0, iters, body, (state, pstack0, ages0))
+    st, _, _ = jax.lax.fori_loop(0, iters, body, (state, pstack0, built0))
     return st
 
 

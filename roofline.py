@@ -159,9 +159,12 @@ def main():
         lambda r: model.init(r, batch, astate, gb, agm_settings,
                              depth_settings=depth_settings)
     )(jax.random.PRNGKey(0))
+    # shared_cur matches the streaming pipeline (every candidate in a
+    # window shares the key frame; pipeline.py shared_cur_cnn)
     napply = jax.jit(lambda p, bt: model.apply(
         p, bt, astate, gb, agm_settings,
-        depth_settings=depth_settings)["images_pred"])
+        depth_settings=depth_settings,
+        shared_cur=True)["images_pred"])
     results["agm_forward_s"] = timeit(napply, params, batch, iters=3, K=4)
 
     # derived: streaming sec/frame for a 5-frame key window

@@ -132,3 +132,31 @@ def test_agm_render_flow_output():
     assert out["flow_pred"].shape == (1, 2, 2, 16, 48)  # (B, V, 2, fh, fw)
     assert out["flow_mask"].shape[-2:] == (16, 48)
     assert bool(jnp.all(jnp.isfinite(out["flow_pred"])))
+
+
+def test_shared_cur_cnn_matches_per_item():
+    """shared_cur=True (key-frame CNN computed once per window,
+    UniMatch.img0_tile) must equal the per-item forward exactly when
+    every batch item shares cur_images_input (streaming windows do —
+    one cur_frame per window in the pairs json)."""
+    b, hw = 3, 32
+    batch, state, gaussians = tiny_batch(b=b, v=2, vout=1, hw=hw, n=64, a=32)
+    # make cur identical across the batch (as in streaming)
+    batch["cur_images_input"] = jnp.broadcast_to(
+        batch["cur_images_input"][:1], batch["cur_images_input"].shape)
+    settings = RasterSettings(
+        image_height=hw, image_width=hw, impl="tiles",
+        max_pairs=1 << 13, max_per_tile=128, chunk=64,
+    )
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    params = model.init(KEY, batch, state, gaussians, settings)
+    ref = model.apply(params, batch, state, gaussians, settings)
+    out = model.apply(params, batch, state, gaussians, settings,
+                      shared_cur=True)
+    np.testing.assert_allclose(
+        np.asarray(out["images_pred"]), np.asarray(ref["images_pred"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["depth_pred"]), np.asarray(ref["depth_pred"]),
+        atol=1e-5)

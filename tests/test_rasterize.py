@@ -497,3 +497,222 @@ class TestStripRendering:
         gf = np.asarray(jax.grad(lf)(g.get_xyz))
         gs = np.asarray(jax.grad(ls)(g.get_xyz))
         np.testing.assert_allclose(gs, gf, atol=1e-4, rtol=1e-5)
+
+
+class TestNormalGeometry:
+    """Round-4 audit regression: the camera-space normal is the
+    TRANSPOSED-Jacobian transform nJ·rnv with glm's column-major nJ
+    (forward.cu:176-260; constructor semantics confirmed by the
+    reference's own printf test at forward.cu:127-132). Independent
+    geometric check — no transcription in the loop: a thin-disc
+    Gaussian's depth-gradient normal must align with the disc's plane
+    normal in camera space."""
+
+    def test_thin_disc_normal_matches_plane(self):
+        from igs_tpu.core.quaternion import quat_to_rotmat
+        from tests.conftest import make_camera
+
+        rng = np.random.RandomState(0)
+        n = 16
+        xyz = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scale = np.full((n, 3), 0.3, np.float32)
+        scale[:, 2] = 1e-4  # thin disc: normal = rotated 3rd axis
+        cam = make_camera()
+        proj = project(
+            jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(q),
+            jnp.full((n,), 0.9), cam,
+            colors_precomp=jnp.zeros((n, 3)))
+        r = np.asarray(quat_to_rotmat(jnp.asarray(q), normalize=False))
+        wvt = np.asarray(cam.world_view_transform)
+        disc_cam = r[:, :, 2] @ wvt[:3, :3]  # R_view·n_world
+        disc_cam /= np.linalg.norm(disc_cam, axis=1, keepdims=True)
+        cos = np.abs(np.sum(np.asarray(proj.normal) * disc_cam, axis=1))
+        # fov-clamped off-axis points deviate slightly; the pre-fix
+        # (row-major) reading bottomed out at 0.50 on this exact set
+        assert cos.min() > 0.98, cos
+
+
+class TestAuditCorners:
+    """Round-4 audit corner tests (VERDICT r3 weak-3): kernel_size > 0,
+    scale_modifier != 1, and both Vrk conditioning branches — previously
+    untested (all runs use the IGS defaults kernel_size=0, modifier=1)."""
+
+    def test_mip_coef_isotropic_analytic(self):
+        """For a centered isotropic Gaussian the EWA cov2d is a·I with
+        a = (f·s/z)², so coef = sqrt(det0/det1) = a/(a+k) — checked
+        against that analytic value, not a transcription.
+        (forward.cu:117-124; conic stays UN-blurred in RaDe-GS,
+        forward.cu:384-390 uses the raw cov2D.)"""
+        from tests.conftest import make_camera
+
+        cam = make_camera()  # z = 4, fov 0.8
+        s = 0.05
+        k = 0.1
+        g = random_gaussians(1)
+        g = g.replace(
+            xyz=jnp.zeros((1, 3)),
+            scaling=jnp.full((1, 3), float(np.log(s))),
+            rotation=jnp.array([[1.0, 0, 0, 0]]),
+        )
+        proj0 = project(g.get_xyz, g.get_scaling, g.get_rotation,
+                        g.get_opacity, cam, shs=g.shs, kernel_size=0.0)
+        projk = project(g.get_xyz, g.get_scaling, g.get_rotation,
+                        g.get_opacity, cam, shs=g.shs, kernel_size=k)
+        a = (float(cam.focal_x) * s / 4.0) ** 2
+        coef_expected = a / (a + k)  # sqrt(a²/(a+k)²)
+        got = float(projk.opacity[0] / proj0.opacity[0])
+        np.testing.assert_allclose(got, coef_expected, rtol=1e-3)
+        # RaDe-GS does NOT blur the conic with the kernel (unlike
+        # mip-splatting): conic must be unchanged
+        np.testing.assert_allclose(
+            np.asarray(projk.conic), np.asarray(proj0.conic), rtol=1e-6)
+        # and the 3σ radius is kernel-independent too
+        assert int(projk.radius[0]) == int(proj0.radius[0])
+
+    def test_mip_coef_zero_for_degenerate_det(self):
+        """det ≤ 1e-6 (a collapsed Gaussian) must zero the coef → zero
+        effective opacity (forward.cu:122-124)."""
+        from tests.conftest import make_camera
+
+        cam = make_camera()
+        g = random_gaussians(1)
+        g = g.replace(
+            xyz=jnp.zeros((1, 3)),
+            scaling=jnp.full((1, 3), -12.0),  # ~6e-6 world scale
+            rotation=jnp.array([[1.0, 0, 0, 0]]),
+        )
+        proj = project(g.get_xyz, g.get_scaling, g.get_rotation,
+                       g.get_opacity, cam, shs=g.shs, kernel_size=0.2)
+        assert float(proj.opacity[0]) == 0.0
+
+    def test_scale_modifier_equals_scaled_input(self):
+        """render(scale_modifier=m) ≡ render(scaling·m) — computeCov3D
+        multiplies mod into the scale matrix (forward.cu:273-277) and the
+        plane chain reuses the modified Σ (forward.cu:108+)."""
+        from tests.conftest import make_camera
+
+        cam = make_camera()
+        g = random_gaussians(64, seed=3)
+        m = 0.7
+        settings = RasterSettings(
+            image_height=64, image_width=64, impl="tiles",
+            max_pairs=1 << 13, max_per_tile=256, chunk=64,
+            scale_modifier=m)
+        base = RasterSettings(
+            image_height=64, image_width=64, impl="tiles",
+            max_pairs=1 << 13, max_per_tile=256, chunk=64)
+        out_mod = rasterize(
+            means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
+            rotation=g.get_rotation, camera=cam, shs=g.shs,
+            settings=settings)
+        out_scaled = rasterize(
+            means3d=g.get_xyz, opacity=g.get_opacity,
+            scaling=g.get_scaling * m, rotation=g.get_rotation, camera=cam,
+            shs=g.shs, settings=base)
+        for key in ("color", "alpha", "depth", "normal"):
+            np.testing.assert_allclose(
+                np.asarray(out_mod[key]), np.asarray(out_scaled[key]),
+                atol=1e-6, err_msg=key)
+
+    def test_rank1_vrk_branch_normal(self):
+        """scale 1e-6 → s² = 1e-12 < 1e-8: the ill-conditioned rank-1
+        Vrk⁻¹ branch (forward.cu:141-157 / projection.py:287-293). The
+        depth-gradient normal of the degenerate disc must still align
+        with its plane normal and all outputs stay finite."""
+        from igs_tpu.core.quaternion import quat_to_rotmat
+        from tests.conftest import make_camera
+
+        rng = np.random.RandomState(1)
+        n = 8
+        xyz = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scale = np.full((n, 3), 0.3, np.float32)
+        scale[:, 1] = 1e-6  # degenerate mid axis → rank-1 branch
+        cam = make_camera()
+        proj = project(
+            jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(q),
+            jnp.full((n,), 0.9), cam, colors_precomp=jnp.zeros((n, 3)))
+        assert np.isfinite(np.asarray(proj.normal)).all()
+        assert np.isfinite(np.asarray(proj.camera_plane)).all()
+        assert np.isfinite(np.asarray(proj.ray_plane)).all()
+        r = np.asarray(quat_to_rotmat(jnp.asarray(q), normalize=False))
+        wvt = np.asarray(cam.world_view_transform)
+        disc_cam = r[:, :, 1] @ wvt[:3, :3]
+        disc_cam /= np.linalg.norm(disc_cam, axis=1, keepdims=True)
+        cos = np.abs(np.sum(np.asarray(proj.normal) * disc_cam, axis=1))
+        assert cos.min() > 0.98, cos
+
+    def test_well_conditioned_thin_disc(self):
+        """scale 3e-4 (s² = 9e-8 > 1e-8) stays on the full-inverse
+        branch; normal geometry must agree with the rank-1 limit."""
+        from igs_tpu.core.quaternion import quat_to_rotmat
+        from tests.conftest import make_camera
+
+        rng = np.random.RandomState(2)
+        n = 8
+        xyz = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scale = np.full((n, 3), 0.3, np.float32)
+        scale[:, 0] = 3e-4
+        cam = make_camera()
+        proj = project(
+            jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(q),
+            jnp.full((n,), 0.9), cam, colors_precomp=jnp.zeros((n, 3)))
+        r = np.asarray(quat_to_rotmat(jnp.asarray(q), normalize=False))
+        wvt = np.asarray(cam.world_view_transform)
+        disc_cam = r[:, :, 0] @ wvt[:3, :3]
+        disc_cam /= np.linalg.norm(disc_cam, axis=1, keepdims=True)
+        cos = np.abs(np.sum(np.asarray(proj.normal) * disc_cam, axis=1))
+        assert cos.min() > 0.98, cos
+
+    def test_ray_plane_slope_matches_intersection(self):
+        """Round-4 audit fix #2 (AUDIT.md §planes): plane = nJ_inv·w keeps
+        the third-column terms (−u·w2, −v·w2), forward.cu:181-244.
+        Independent witness: for a thin disc, dt/dpixel from ray_plane
+        must match the finite-difference slope of the exact ray-plane
+        intersection distance. The q2-less (row-major) transcription errs
+        up to 9.3% on this exact set; the fixed one ≤0.8%."""
+        from igs_tpu.core.quaternion import quat_to_rotmat
+        from tests.conftest import make_camera
+
+        rng = np.random.RandomState(0)
+        n = 10
+        xyz = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scale = np.full((n, 3), 0.3, np.float32)
+        scale[:, 2] = 1e-5
+        H = W = 256
+        cam = make_camera(height=H, width=W, fov=0.9)
+        proj = project(
+            jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(q),
+            jnp.full((n,), 0.9), cam, colors_precomp=jnp.zeros((n, 3)))
+        fx, fy = float(cam.focal_x), float(cam.focal_y)
+        wvt = np.asarray(cam.world_view_transform)
+        rv = wvt[:3, :3].T
+        r = np.asarray(quat_to_rotmat(jnp.asarray(q), normalize=False))
+        p_cam = xyz @ rv.T + wvt[3, :3]
+        n_cam = r[:, :, 2] @ rv.T
+        m2d = np.asarray(proj.means2d)
+        rp = np.asarray(proj.ray_plane)
+
+        def exact_t(i, px, py):
+            u = (px - (W - 1) / 2) / fx
+            v = (py - (H - 1) / 2) / fy
+            d = np.array([u, v, 1.0])
+            return (np.dot(n_cam[i], p_cam[i]) * np.linalg.norm(d)
+                    / np.dot(n_cam[i], d))
+
+        h = 1e-3
+        for i in range(n):
+            sx = (exact_t(i, m2d[i, 0] + h, m2d[i, 1])
+                  - exact_t(i, m2d[i, 0] - h, m2d[i, 1])) / (2 * h)
+            sy = (exact_t(i, m2d[i, 0], m2d[i, 1] + h)
+                  - exact_t(i, m2d[i, 0], m2d[i, 1] - h)) / (2 * h)
+            # t = t_center + ray_plane·d with d = center − pixel
+            err = max(abs(-rp[i, 0] - sx), abs(-rp[i, 1] - sy))
+            assert err / max(abs(sx), abs(sy), 1e-6) < 0.015, (i, err)
