@@ -109,6 +109,10 @@ def build_stream_configs(
         workspace=str(opt.get("workspace", "logs/igs_tpu/stream")),
         data_parallel=int(opt.get("data_parallel", 1)),
         refine_parallel=int(opt.get("refine_parallel", 1)),
+        shared_cur_cnn=bool(opt.get("shared_cur_cnn", True)),
+        depth_view_res=int(opt.get("depth_view_res", 128)),
+        exact_knn=bool(opt.get("exact_knn", False)),
+        fps_buckets=int(opt.get("fps_buckets", 64)),
     )
     refine = RefineConfig(
         position_lr=float(lrs.get("position_lr_init", 0.0016)),

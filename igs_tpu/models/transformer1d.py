@@ -73,9 +73,12 @@ class Attention(nn.Module):
             # (88-979 ms) and stay off. max|Δ| vs chunked ≈ 4e-4.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, flash_attention)
-            bq = min(512, L)
-            bk = min(512, L)
-            bkM = min(1024, L)
+            # 1024/1024/2048 blocks measured 12.0 vs 13.3 ms at the
+            # (5, 8, 8192, 64) triplane shape (tools_bench_attn2.py r4);
+            # 2048-row q blocks fail to compile
+            bq = min(1024, L)
+            bk = min(1024, L)
+            bkM = min(2048, L)
             bs = BlockSizes(
                 block_q=bq, block_k_major=bkM, block_k=bk, block_b=1,
                 block_q_major_dkv=bq, block_k_major_dkv=bkM,

@@ -37,14 +37,21 @@ def select_anchors(
     k: int = 8,
     temperature: float = 10.0,
     exact_knn: bool = True,
+    fps_buckets: int = 64,
 ) -> AnchorState:
-    """Full anchor precompute for one scene/frame."""
+    """Full anchor precompute for one scene/frame.
+
+    ``fps_buckets=1`` runs exact sequential greedy FPS (the approximation
+    ladder's reference configuration); the default 64 Morton buckets
+    match the reference's own bucketed kd-line FPS (gs.py:983).
+    """
     n = xyz.shape[0]
     if valid is None:
         valid = jnp.ones(n, dtype=bool)
     mask = select_points_bbox(xyz, bbox) & valid
 
-    idx = farthest_point_sampling(xyz, anchor_size, valid=mask)
+    idx = farthest_point_sampling(xyz, anchor_size, valid=mask,
+                                  num_buckets=fps_buckets)
     anchors = xyz[idx]
     # FPS can only return in-mask points unless the mask is smaller than
     # anchor_size; anchor validity follows the sampled point's mask bit.

@@ -140,12 +140,17 @@ def _rasterize_impl(
                 # loop's rebin_every amortization (stream/refine.py)
                 pairs = pairs_override
             else:
-                # segred VJP only pays off for the full-outputs backward
-                # (frame-0 training, bench); color/color_depth keep the
-                # plain scatter and skip the aux sorts (A/B in PERF.md r3b)
+                # segred VJP for full AND color backward. The r3b
+                # standalone A/B had color-scatter winning (it fuses with
+                # its preceding transpose there), but in the REAL consumer
+                # — the fused refine loop — segred wins 28.4 vs 29.7
+                # ms/step (tools_bench_segred_loop.py r4): the scatter
+                # serializes against the kernels in-loop, like the
+                # histogram scatter did (PERF r3 item 13). color_depth
+                # keeps the scatter (no in-context consumer measured).
                 pairs = build_tile_pairs(
                     proj, grid_x, grid_y, settings.max_pairs,
-                    segred_aux=settings.outputs == "full")
+                    segred_aux=settings.outputs in ("full", "color"))
             out = render_tiles_pallas_packed(
                 proj, pairs, h, w, fx, fy, bg,
                 interpret=settings.pallas_interpret,
@@ -364,7 +369,7 @@ def build_pairs_packed(
     # stop_gradient'd with the rest, so staleness semantics are unchanged.
     pairs = build_tile_pairs(
         proj, grid_x, grid_y, settings.max_pairs,
-        segred_aux=settings.outputs == "full")
+        segred_aux=settings.outputs in ("full", "color"))
     return jax.lax.stop_gradient(pairs)
 
 

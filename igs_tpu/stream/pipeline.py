@@ -68,6 +68,11 @@ class StreamConfig:
     # per candidate (every item in a streaming window shares cur_frame);
     # verified against the first batch at runtime, numerically identical
     shared_cur_cnn: bool = True
+    # approximation knobs (PERF.md approximation ladder): exact top-k KNN
+    # instead of approx_max_k (recall≈0.99), and the Morton-bucket count
+    # for the FPS anchor stage (1 = exact sequential greedy FPS)
+    exact_knn: bool = False
+    fps_buckets: int = 64
 
 
 class StreamingPipeline:
@@ -140,10 +145,12 @@ class StreamingPipeline:
                 select_anchors,
                 anchor_size=cfg.anchor_size,
                 k=cfg.neighbor_k,
-                # streaming precompute uses the TPU-native approximate
-                # top-k (recall≈0.99); the FPS stage is approximate in the
-                # reference too
-                exact_knn=False,
+                # streaming precompute defaults to the TPU-native
+                # approximate top-k (recall≈0.99); the FPS stage is
+                # approximate in the reference too (bucket_fps_kdline).
+                # Both are overridable for the approximation ladder.
+                exact_knn=cfg.exact_knn,
+                fps_buckets=cfg.fps_buckets,
             )
         )
         self._refine_step = jax.jit(

@@ -433,6 +433,7 @@ class TestOpacityAwareCulling:
                 np.asarray(getattr(culled, k)), np.asarray(getattr(wide, k)),
                 err_msg=f"culling changed output {k}")
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("shift", [-2.0, -6.0])
     def test_grads_exact(self, shift):
         g, render = self._render_pair(shift)
@@ -474,6 +475,7 @@ class TestStripRendering:
         np.testing.assert_allclose(
             np.asarray(s1), np.asarray(full[:, 32:]), atol=2e-6)
 
+    @pytest.mark.slow
     def test_strip_grads_sum_to_full(self):
         cam = make_camera()
         g = random_gaussians(n=128, seed=2)
