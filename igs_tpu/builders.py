@@ -52,7 +52,7 @@ def build_dataset(data_cfg: Dict[str, Any], training: bool):
 
 def build_raster_settings(
     height: int, width: int, clamp: bool = True,
-    max_pairs: int = 2**21, max_per_tile: int = 4096,
+    max_pairs: int = 0, max_per_tile: int = 4096,
     impl: str = "auto",
 ) -> RasterSettings:
     if impl == "auto":
@@ -63,6 +63,15 @@ def build_raster_settings(
         # windowed path, PERF.md §round-2); XLA path elsewhere (CPU tests
         # can opt into interpret mode explicitly)
         impl = "pallas_packed" if jax.default_backend() == "tpu" else "tiles"
+    if max_pairs <= 0:
+        # default pair budget ~4 blended contributions per pixel,
+        # power-of-two, clamped to [2^15, 2^21] — a FIXED 2^21 budget
+        # OOM'd small-image training (every pair-proportional buffer in
+        # the vmapped backward scales with the budget, not the image)
+        import math
+
+        max_pairs = 1 << min(
+            21, max(15, math.ceil(math.log2(max(height * width * 4, 1)))))
     return RasterSettings(
         image_height=height, image_width=width, impl=impl,
         max_pairs=max_pairs, max_per_tile=max_per_tile,

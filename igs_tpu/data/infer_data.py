@@ -50,6 +50,11 @@ class InferDatasetConfig:
     start_gs_path: Optional[str] = None
     max_sh_degree: int = 3
     up_sample: bool = True
+    # load each item's cur-frame PLY + depth (train-dataset semantics,
+    # data.py:249-268) even in the val split — the training driver's
+    # eval loop needs per-item gaussians; streaming keeps the idx-0-only
+    # behavior (gaussians are carried forward)
+    load_gs_per_item: bool = False
 
 
 class N3dInferDataset:
@@ -115,7 +120,11 @@ class N3dInferDataset:
         scene = item["scene_name"]
         cur_dir = os.path.join(self.cfg.root_dir, scene, item["cur_frame"])
         next_dir = os.path.join(self.cfg.root_dir, scene, item["next_frame"])
-        need_depth = item["cur_frame"] == "colmap_0"
+        # streaming needs depth only at frame 0 (carried after,
+        # infer_data.py:171-175); training reads it per item like the
+        # train dataset (data.py:120-137)
+        need_depth = (item["cur_frame"] == "colmap_0" or self.training
+                      or self.cfg.load_gs_per_item)
 
         cameras = self.cameras_data
         centers = np.array([c["position"] for c in cameras])
@@ -165,7 +174,16 @@ class N3dInferDataset:
             "eval_vids": table["eval"],
             "radius": np.float32(scene_info["radius"]),
             "bounding_box": bbox,
-            "gs_path": self.cfg.start_gs_path if idx == 0 else "",
+            # streaming: gaussians only at idx 0 (carried forward after);
+            # training: every item loads its cur-frame PLY like the train
+            # dataset (reference data.py:249-268 collate)
+            "gs_path": (
+                os.path.join(
+                    cur_dir, self.cfg.gs_mode, "point_cloud",
+                    f"iteration_{self.cfg.iter}", "point_cloud.ply")
+                if self.training or self.cfg.load_gs_per_item
+                else (self.cfg.start_gs_path if idx == 0 else "")
+            ),
         }
         if need_depth:
             res["depth"] = depths[1:]

@@ -120,10 +120,13 @@ def build_synthetic_scene(
             train_dir = os.path.join(mode_dir, "train", f"ours_{iteration}")
             os.makedirs(os.path.join(train_dir, "gt"), exist_ok=True)
             os.makedirs(os.path.join(train_dir, "depth_expected_mm"), exist_ok=True)
-        if f == 0:
-            ply_dir = os.path.join(mode_dir, "point_cloud", f"iteration_{iteration}")
-            os.makedirs(ply_dir, exist_ok=True)
-            save_gaussian_ply(os.path.join(ply_dir, "point_cloud.ply"), g)
+        # every frame gets its PLY: the reference training set carries a
+        # trained 3DGS per frame (build_3dgs_dataset.py) that the train
+        # loader reads per item (data.py:249-268); streaming reads only
+        # frame 0's
+        ply_dir = os.path.join(mode_dir, "point_cloud", f"iteration_{iteration}")
+        os.makedirs(ply_dir, exist_ok=True)
+        save_gaussian_ply(os.path.join(ply_dir, "point_cloud.ply"), g)
         for i, cam in enumerate(cams):
             img, depth = render(g, cam)
             u8 = (img.transpose(1, 2, 0) * 255).astype(np.uint8)

@@ -35,6 +35,20 @@ def _raster_args(g, cam):
     )
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("settings",))
+def _jrast(args, settings, bg=None):
+    """Shared jitted rasterize: compiles once per settings/shape and hits
+    the persistent cache across runs — the eager per-op dispatch of the
+    reference-oracle path dominated the smoke-suite wall time."""
+    kw = dict(args)
+    if bg is not None:
+        kw["bg"] = bg
+    return rasterize(**kw, settings=settings)
+
+
 class TestProjection:
     def test_shapes_and_visibility(self, gaussians_small, camera64):
         g, cam = gaussians_small, camera64
@@ -95,7 +109,7 @@ class TestForward:
         g = random_gaussians(4)
         g = g.replace(valid=jnp.zeros(4, dtype=bool))
         bg = jnp.array([0.25, 0.5, 0.75])
-        out = rasterize(**_raster_args(g, camera64), bg=bg, settings=SET64_REF)
+        out = _jrast(_raster_args(g, camera64), SET64_REF, bg=bg)
         img = np.asarray(out["color"])
         np.testing.assert_allclose(img, np.broadcast_to(
             np.array([0.25, 0.5, 0.75])[:, None, None], img.shape), atol=1e-6)
@@ -105,7 +119,7 @@ class TestForward:
         # a dense slab of opaque gaussians in front of the camera
         g = random_gaussians(512, spread=0.8)
         g = g.replace(opacity=jnp.full((512, 1), 8.0))  # σ≈1
-        out = rasterize(**_raster_args(g, camera64), settings=SET64_REF)
+        out = _jrast(_raster_args(g, camera64), SET64_REF)
         a = np.asarray(out["alpha"])
         assert a[24:40, 24:40].min() > 0.98
 
@@ -116,7 +130,7 @@ class TestForward:
             opacity=jnp.full((1, 1), 12.0),
             scaling=jnp.full((1, 3), -1.2),
         )
-        out = rasterize(**_raster_args(g, camera64), settings=SET64_REF)
+        out = _jrast(_raster_args(g, camera64), SET64_REF)
         d = np.asarray(out["depth"])
         md = np.asarray(out["mdepth"])
         # center pixel: expected depth ≈ distance 4.0 (flat-ish gaussian)
@@ -137,7 +151,7 @@ class TestForward:
             scaling=jnp.full((2, 3), -1.0),
             rotation=jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1)),
         )
-        out = rasterize(**_raster_args(g, camera64), settings=SET64_REF)
+        out = _jrast(_raster_args(g, camera64), SET64_REF)
         img = np.asarray(out["color"])
         assert img[0, 32, 32] > 0.9 and img[2, 32, 32] < 0.1
 
@@ -605,14 +619,10 @@ class TestAuditCorners:
         base = RasterSettings(
             image_height=64, image_width=64, impl="tiles",
             max_pairs=1 << 13, max_per_tile=256, chunk=64)
-        out_mod = rasterize(
-            means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
-            rotation=g.get_rotation, camera=cam, shs=g.shs,
-            settings=settings)
-        out_scaled = rasterize(
-            means3d=g.get_xyz, opacity=g.get_opacity,
-            scaling=g.get_scaling * m, rotation=g.get_rotation, camera=cam,
-            shs=g.shs, settings=base)
+        out_mod = _jrast(_raster_args(g, cam), settings)
+        args_scaled = _raster_args(g, cam)
+        args_scaled["scaling"] = g.get_scaling * m
+        out_scaled = _jrast(args_scaled, base)
         for key in ("color", "alpha", "depth", "normal"):
             np.testing.assert_allclose(
                 np.asarray(out_mod[key]), np.asarray(out_scaled[key]),

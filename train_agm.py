@@ -233,7 +233,12 @@ def main():
         # per-epoch eval over the FULL test loader (main.py:378-432 walks
         # the whole test set with gather_for_metrics) + image dump
         try:
-            test_ds = build_dataset(cfg.data, training=False)
+            # eval needs per-item gaussians even from the infer-style
+            # dataset (load_gs_per_item; train-dataset classes ignore it)
+            eval_data_cfg = dict(cfg.data)
+            eval_data_cfg["data"] = dict(
+                cfg.data["data"], load_gs_per_item=True)
+            test_ds = build_dataset(eval_data_cfg, training=False)
             from igs_tpu.train.losses import psnr as psnr_fn
             from igs_tpu.utils.saving import save_image
 
