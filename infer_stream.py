@@ -29,13 +29,8 @@ def main():
         build_dataset, build_model, build_raster_settings, build_stream_configs,
     )
     from igs_tpu.config import load_config
-    from igs_tpu.models.torch_convert import (
-        convert_gmflow_checkpoint, convert_igs_checkpoint,
-        fix_mlp_output_layer, load_torch_file,
-    )
     from igs_tpu.ops.anchors import select_anchors
     from igs_tpu.stream.pipeline import StreamingPipeline
-    from igs_tpu.train.driver import load_checkpoint
 
     cfg = load_config(args.config, cli_args=extras)
     # merge resume_cfg's system section if present (infer_batch.py:443-446)
@@ -69,37 +64,9 @@ def main():
         lambda r: model.init(r, jbatch, state, gb, settings)
     )(jax.random.PRNGKey(0))
 
-    import flax
+    from igs_tpu.utils.resume import load_params_with_overlays
 
-    flat = flax.traverse_util.flatten_dict(params["params"])
-
-    def overlay(converted, prefix=()):
-        loaded = 0
-        for k, v in flax.traverse_util.flatten_dict(converted).items():
-            key = prefix + k
-            if key in flat and flat[key].shape == np.asarray(v).shape:
-                flat[key] = jnp.asarray(v)
-                loaded += 1
-        return loaded
-
-    gmflow_path = cfg.system.get("backbone", {}).get(
-        "pretrained_model_name_or_path", "")
-    if gmflow_path and os.path.exists(gmflow_path):
-        n = overlay(convert_gmflow_checkpoint(
-            load_torch_file(gmflow_path))["params"], ("backbone",))
-        print(f"loaded {n} GMFlow tensors")
-    resume = cfg.opt.get("resume", "")
-    if resume and os.path.exists(resume):
-        if resume.endswith(".msgpack"):
-            params, _ = load_checkpoint(resume, params)
-            print(f"loaded native checkpoint {resume}")
-        else:
-            conv = convert_igs_checkpoint(load_torch_file(resume))
-            fix_mlp_output_layer(conv["params"])
-            n = overlay(conv["params"])
-            print(f"loaded {n} AGM tensors from torch ckpt {resume} "
-                  f"({len(conv['unmapped'])} unmapped)")
-    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+    params = load_params_with_overlays(params, cfg.system, cfg.opt)
 
     pipe = StreamingPipeline(model, params, ds, stream_cfg, refine_cfg, settings)
     results = pipe.run(max_batches=args.max_batches)
