@@ -26,6 +26,10 @@ from igs_tpu.models.agm import AGMNet
 from igs_tpu.ops.rasterize import RasterSettings
 from igs_tpu.train.losses import l1_loss, psnr as psnr_fn, ssim
 
+# main.py:270 downsamples LPIPS inputs to 256² ("downsampled to at most
+# 256 to reduce memory cost"); module-level so tests can shrink it
+LPIPS_RES = 256
+
 
 @dataclass
 class OptConfig:
@@ -120,7 +124,8 @@ def compute_loss(out: Dict, gt_images: jnp.ndarray, cfg: OptConfig,
         def prep(img):
             flat = img.reshape(b * v, *img.shape[2:]) * 2.0 - 1.0
             return jax.image.resize(
-                flat, (b * v, flat.shape[1], 256, 256), method="bilinear")
+                flat, (b * v, flat.shape[1], LPIPS_RES, LPIPS_RES),
+                method="bilinear")
         ll = jnp.mean(lpips_fn(prep(gt_images), prep(pred)))
         metrics["loss_lpips"] = ll
         loss = loss + cfg.lambda_lpips * ll

@@ -69,14 +69,17 @@ def test_compute_loss_applies_lambda_lpips():
 
 
 @pytest.mark.slow
-def test_train_step_smoke_with_lpips():
+def test_train_step_smoke_with_lpips(monkeypatch):
     """make_train_step with lambda_lpips > 0 runs end-to-end (random VGG
     weights, warning expected) and produces a finite loss + param update."""
     from igs_tpu.models.agm import AGMNet
     from igs_tpu.ops.rasterize import RasterSettings
+    import igs_tpu.train.driver as driver_mod
     from igs_tpu.train.driver import make_optimizer, make_train_step
     from tests.test_agm import tiny_batch
 
+    # wiring test, not a VGG benchmark: shrink the LPIPS input res
+    monkeypatch.setattr(driver_mod, "LPIPS_RES", 64)
     hw = 32
     batch, state, gaussians = tiny_batch(b=1, v=2, vout=1, hw=hw, n=64, a=32)
     batch["images_output"] = jnp.asarray(
