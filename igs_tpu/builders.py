@@ -26,9 +26,17 @@ def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
     enc = system.get("triplane_encoder", {})
     enc_unet = enc.get("unet", {})
     renderer = system.get("renderer", {})
+    # per-module bf16 compute (params stay f32; reference infers fp16).
+    # Default ON on real TPUs: A/B'd at the production shape in
+    # tools_bench_agm_bf16.py (AGM forward 309 → 268 ms, PERF.md r4);
+    # CPU (tests) keeps the exact f32 path.
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     return AGMNet(
-        encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16)),
-        cnn_bf16=bool(system.get("cnn_bf16", False)),
+        encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16 or on_tpu)),
+        cnn_bf16=bool(system.get("cnn_bf16", on_tpu)),
+        ft_bf16=bool(system.get("ft_bf16", on_tpu)),
         feature_channels=backbone.get("feature_channels", 128),
         backbone_layers=backbone.get("transformer", {}).get("num_layers", 6),
         motion_layers=transformer.get("num_layers", 1),

@@ -51,6 +51,9 @@ class AGMNet(nn.Module):
     encoder_bf16: bool = False
     # bf16 compute for the (HBM-bound) CNN encoder; IN stats stay f32
     cnn_bf16: bool = False
+    # bf16 Dense matmuls in the frozen 6-layer feature transformer (the
+    # f32 default runs them as 3-pass MXU splits; reference infers fp16)
+    ft_bf16: bool = False
     # predicted-motion flow rendering (GS3DRenderer cfg, gs.py:526-528);
     # off in every shipped reference config (lambda_flow: 0)
     render_flow: bool = False
@@ -63,6 +66,7 @@ class AGMNet(nn.Module):
             num_transformer_layers=self.backbone_layers,
             attn_splits=self.attn_splits,
             cnn_dtype=jnp.bfloat16 if self.cnn_bf16 else None,
+            ft_dtype=jnp.bfloat16 if self.ft_bf16 else None,
             name="backbone",
         )
         if self.fine_tune_backbone:

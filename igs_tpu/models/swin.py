@@ -180,32 +180,46 @@ class TransformerLayer(nn.Module):
     """q/k/v proj (no bias) → window attention → merge → norm → [FFN].
 
     Parity: transformer.py:11-146. The FFN input is cat(source, message).
+
+    ``dtype``: compute dtype for the Dense matmuls (params stay f32).
+    The f32 default runs every matmul as a 3-pass bf16 MXU split; with
+    the frozen backbone and the reference's own fp16 inference, bf16
+    single-pass is the production choice (AGMNet.ft_bf16). LayerNorms
+    and the residual add stay f32.
     """
 
     d_model: int = 128
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, source, target, h, w, attn_num_splits=2,
                  with_shift=False):
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(source)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(target)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(target)
+        q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="q_proj")(source)
+        k = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(target)
+        v = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="v_proj")(target)
         if attn_num_splits > 1:
             message = window_attention(q, k, v, attn_num_splits, h, w,
                                        with_shift=with_shift)
         else:
             message = full_attention(q, k, v)
-        message = nn.Dense(self.d_model, use_bias=False, name="merge")(message)
-        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
+        message = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                           name="merge")(message)
+        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+            message.astype(jnp.float32))
         if not self.no_ffn:
             x = jnp.concatenate([source, message], axis=-1)
             x = nn.Dense(2 * self.d_model * self.ffn_dim_expansion,
-                         use_bias=False, name="mlp0")(x)
+                         use_bias=False, dtype=self.dtype, name="mlp0")(x)
             x = nn.gelu(x, approximate=False)
-            x = nn.Dense(self.d_model, use_bias=False, name="mlp2")(x)
-            message = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+            x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                         name="mlp2")(x)
+            message = nn.LayerNorm(epsilon=1e-5, name="norm2")(
+                x.astype(jnp.float32))
         return source + message
 
 
@@ -214,17 +228,20 @@ class TransformerBlock(nn.Module):
 
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, source, target, h, w, attn_num_splits=2,
                  with_shift=False):
         source = TransformerLayer(
             self.d_model, no_ffn=True,
-            ffn_dim_expansion=self.ffn_dim_expansion, name="self_attn",
+            ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            name="self_attn",
         )(source, source, h, w, attn_num_splits, with_shift)
         source = TransformerLayer(
             self.d_model, no_ffn=False,
-            ffn_dim_expansion=self.ffn_dim_expansion, name="cross_attn_ffn",
+            ffn_dim_expansion=self.ffn_dim_expansion, dtype=self.dtype,
+            name="cross_attn_ffn",
         )(source, target, h, w, attn_num_splits, with_shift)
         return source
 
@@ -240,6 +257,7 @@ class FeatureTransformer(nn.Module):
     num_layers: int = 6
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feature0, feature1, attn_num_splits=2):
@@ -250,7 +268,8 @@ class FeatureTransformer(nn.Module):
         concat1 = jnp.concatenate([f1, f0], axis=0)
         for i in range(self.num_layers):
             concat0 = TransformerBlock(
-                self.d_model, self.ffn_dim_expansion, name=f"layer{i}"
+                self.d_model, self.ffn_dim_expansion, dtype=self.dtype,
+                name=f"layer{i}"
             )(
                 concat0, concat1, h, w, attn_num_splits,
                 with_shift=attn_num_splits > 1 and i % 2 == 1,

@@ -39,6 +39,7 @@ class UniMatch(nn.Module):
     ffn_dim_expansion: int = 4
     attn_splits: int = 2
     cnn_dtype: object = None  # bf16 compute for the CNN encoder (HBM-bound)
+    ft_dtype: object = None  # bf16 compute for the transformer Dense mats
 
     @nn.compact
     def __call__(self, img0, img1, img0_tile: int = 1):
@@ -67,6 +68,7 @@ class UniMatch(nn.Module):
             num_layers=self.num_transformer_layers,
             d_model=self.feature_channels,
             ffn_dim_expansion=self.ffn_dim_expansion,
+            dtype=self.ft_dtype,
             name="transformer",
         )(feature0, feature1, attn_num_splits=self.attn_splits)
         return feature0, feature1

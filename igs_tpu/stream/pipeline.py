@@ -108,9 +108,16 @@ class StreamingPipeline:
         if cfg.depth_view_res:
             r = min(cfg.depth_view_res, out_settings.image_height,
                     out_settings.image_width)
+            import math
+
+            # pair budget ~4 contributions/pixel for the tiny depth-carry
+            # views — the old min(max_pairs, 1<<18) left a 16×-oversized
+            # budget at 128² and every binning sort/gather scales with
+            # the BUDGET, not the image (overflow stays surfaced)
+            dp = 1 << min(18, max(14, math.ceil(math.log2(r * r * 4))))
             self.depth_settings = self.agm_settings._replace(
                 image_height=r, image_width=r,
-                max_pairs=min(self.agm_settings.max_pairs, 1 << 18),
+                max_pairs=dp,
                 max_per_tile=min(self.agm_settings.max_per_tile, 512),
                 outputs=("color_depth" if self.agm_settings.impl.startswith("pallas")
                          else "full"),

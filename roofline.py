@@ -38,8 +38,10 @@ def main():
     ap.add_argument("--impl", default="pallas_packed")
     ap.add_argument("--depth-res", type=int, default=128)
     ap.add_argument("--out", default="roofline.json")
-    ap.add_argument("--cnn-bf16", action="store_true")
-    ap.add_argument("--encoder-bf16", action="store_true")
+    # production default: per-module bf16 ON (tools_bench_agm_bf16.py:
+    # AGM 309 → 268 ms); --f32 measures the exact path
+    ap.add_argument("--f32", action="store_true",
+                    help="disable the per-module bf16 compute flags")
     ap.add_argument("--rebin-every", type=int, default=1,
                     help="refine-loop tile-pair rebuild interval "
                          "(RefineConfig.rebin_every; pallas_packed only)")
@@ -128,7 +130,8 @@ def main():
     results["refine_step_s"] = results["refine_loop_s"] / args.refine_iters
 
     # 4. AGM forward at production dims
-    model = AGMNet(cnn_bf16=args.cnn_bf16, encoder_bf16=args.encoder_bf16)
+    model = AGMNet(cnn_bf16=not args.f32, encoder_bf16=not args.f32,
+                   ft_bf16=not args.f32)
     state1 = sel(g.xyz, g.valid)
     astate = jax.tree.map(lambda x: jnp.stack([x] * b), state1)
     gb = jax.tree.map(lambda x: jnp.stack([x] * b), g)
@@ -154,7 +157,10 @@ def main():
     agm_settings = settings._replace(clamp_grads=True, outputs="color")
     depth_settings = agm_settings._replace(
         image_height=args.depth_res, image_width=args.depth_res,
-        max_pairs=1 << 18, max_per_tile=512, outputs="color_depth")
+        # ~4 contributions/pixel (matches stream/pipeline.py sizing)
+        max_pairs=1 << min(18, max(14, (args.depth_res ** 2 * 4 - 1)
+                                   .bit_length())),
+        max_per_tile=512, outputs="color_depth")
     params = jax.jit(
         lambda r: model.init(r, batch, astate, gb, agm_settings,
                              depth_settings=depth_settings)
