@@ -96,3 +96,39 @@ def interpolate_anchor_rotations(
 
     gathered = quat_normalize(anchor_quats[neighbor_idx])
     return jnp.einsum("nk,nkd->nd", weights, gathered)
+
+
+def select_anchors_no_fps(
+    xyz: jnp.ndarray,
+    bbox: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    anchor_size: int = 8192,
+    k: int = 8,
+) -> AnchorState:
+    """Ablation precompute: EVERY in-bbox point is its own anchor.
+
+    Parity: get_mask_no_fpsample (gs.py:1013-1053) — no FPS, no KNN;
+    each dynamic point self-anchors with weight 1 (row==col identity
+    neighbors). Static-shape version: in-bbox points compact into the
+    ``anchor_size`` budget (overflow points fall back to static, like
+    the reference would OOM); K slots are kept for AnchorState shape
+    compatibility with all weight on slot 0.
+    """
+    n = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    mask = select_points_bbox(xyz, bbox) & valid
+    idx = jnp.nonzero(mask, size=anchor_size, fill_value=0)[0]
+    anchors = xyz[idx]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # in-bbox rank per point
+    in_budget = mask & (rank < anchor_size)
+    self_slot = jnp.clip(rank, 0, anchor_size - 1)
+    neighbor = jnp.tile(self_slot[:, None], (1, k)).astype(jnp.int32)
+    weights = jnp.zeros((n, k), jnp.float32).at[:, 0].set(1.0)
+    return AnchorState(
+        anchor_points=anchors,
+        anchor_idx=idx.astype(jnp.int32),
+        mask=in_budget,
+        weights=weights,
+        neighbor_idx=neighbor,
+    )

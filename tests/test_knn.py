@@ -81,3 +81,33 @@ class TestAnchors:
         feats = jnp.ones((32, 5)) * 3.0
         out = interpolate_anchor_features(feats, st.weights, st.neighbor_idx)
         np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_select_anchors_no_fps_identity():
+    """Ablation (gs.py:1013-1053): each in-bbox point self-anchors with
+    weight 1 — interpolating anchor features must return each point's
+    OWN anchor feature exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from igs_tpu.ops.anchors import (
+        interpolate_anchor_features, select_anchors_no_fps,
+    )
+
+    rng = np.random.RandomState(0)
+    n, a, d = 64, 32, 8
+    xyz = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    bbox = jnp.asarray([[-1.0, -1, -1], [1.0, 1, 1]])
+    st = select_anchors_no_fps(xyz, bbox, anchor_size=a, k=4)
+    mask = np.asarray(st.mask)
+    assert mask.sum() > 0
+    # anchors are exactly the in-bbox points, in order
+    inb = np.asarray(xyz)[mask]
+    np.testing.assert_allclose(
+        np.asarray(st.anchor_points)[:mask.sum()], inb)
+    feats = jnp.asarray(rng.normal(size=(a, d)), jnp.float32)
+    out = interpolate_anchor_features(feats, st.weights, st.neighbor_idx)
+    # each in-bbox point receives its own anchor's feature verbatim
+    ranks = np.cumsum(mask) - 1
+    np.testing.assert_allclose(
+        np.asarray(out)[mask], np.asarray(feats)[ranks[mask]])
