@@ -94,11 +94,13 @@ def export_frame_artifacts(
             valid=g.valid, settings=settings)
         save_image(os.path.join(train_dir, "gt", f"{i:05d}.png"),
                    np.asarray(out["color"]))
-        for did in (i, i + 1):  # n3d loader reads vid+1 (infer_data.py:224)
-            save_depth_mm(
-                os.path.join(train_dir, "depth_expected_mm",
-                             f"{did:05d}.png"),
-                np.asarray(out["depth"]))
+        # depth file i = camera i. The old write-both-(i, i+1) hack
+        # self-overwrote: iteration i+1's own-name write clobbered the
+        # i+1 alias, so the n3d loader (vid+1 quirk) read the NEXT
+        # camera's depth. Generated scenes set data.depth_id_offset: 0.
+        save_depth_mm(
+            os.path.join(train_dir, "depth_expected_mm", f"{i:05d}.png"),
+            np.asarray(out["depth"]))
     print(f"frame done: {int(g.num_valid)} gaussians → {mode_dir}")
 
 
@@ -186,11 +188,16 @@ def train_frames_spmd(
     print(f"sweep: {f_count} frames × {iterations} iters on {nsh} "
           f"device(s) in {time.time()-t0:.0f}s")
 
-    # LightGaussian prune + short finetune (compress.py:66-100)
+    # LightGaussian prune + short finetune (compress.py:66-100). Fresh
+    # optimizer state like the sequential driver's init_refine_state —
+    # carrying the sweep's Adam moments/step into the finetune would
+    # suppress its updates (round-4 review finding)
     gs = jax.jit(
         lambda st, fl: sweep_compress(st, cams_s, fl, settings,
                                       prune_percent))(states, filts)
-    states = states.replace(gaussians=gs)
+    states = jax.jit(
+        jax.vmap(lambda gg: init_refine_state(gg, capacity)),
+        out_shardings=shard)(gs)
     ft = jax.jit(
         lambda st, fl, vo: sweep_run(
             st, cams_s, images_s, fl, vo, cfg, settings, spatial,
@@ -236,36 +243,10 @@ def train_one_frame(
     )
     from igs_tpu.utils.saving import save_depth_mm, save_image
 
-    with open(os.path.join(frame_dir, "cameras.json")) as f:
-        cameras_json = json.load(f)
-    h = cameras_json[0]["height"]
-    w = cameras_json[0]["width"]
-
-    img_paths = [
-        os.path.join(frame_dir, images_dir, c["img_name"] + ".png")
-        for c in cameras_json
-    ]
-    images = load_images_nchw(img_paths, h, w)
-    cams = []
-    for c in cameras_json:
-        c2w, fovx, fovy = camera_from_json(c)
-        cams.append(Camera.from_c2w(c2w, (fovx, fovy), (h, w)))
-
-    # init: sparse points if available, else random in the camera hull
-    pts_path = os.path.join(frame_dir, "points3D.npz")
+    cameras_json, cams, images, pts, cols = _load_frame(
+        frame_dir, images_dir, seed)
+    h, w = images.shape[-2:]
     rng = np.random.RandomState(seed)
-    if os.path.exists(pts_path):
-        blob = np.load(pts_path)
-        pts, cols = blob["xyz"], blob.get("rgb", None)
-        if cols is None:
-            cols = rng.uniform(0, 1, (len(pts), 3))
-        elif cols.max() > 1.5:
-            cols = cols / 255.0
-    else:
-        centers = np.array([c["position"] for c in cameras_json])
-        lo, hi = centers.min(0) - 1, centers.max(0) + 1
-        pts = rng.uniform(lo, hi, (20000, 3)).astype(np.float32)
-        cols = rng.uniform(0, 1, (20000, 3)).astype(np.float32)
 
     g = create_from_points(pts, cols, capacity)
     state = init_refine_state(g, capacity)
@@ -280,11 +261,13 @@ def train_one_frame(
 
     filt = compute_3d_filter(
         state.gaussians.xyz, state.gaussians.valid, cams)
+    # filt is a STEP ARGUMENT, not a closure: a jit-captured closure bakes
+    # the trace-time filter in as a constant, silently ignoring every
+    # post-densify recompute (round-4 review finding)
     step = jax.jit(
-        lambda s, cam, gt, lr, reg: frame0_step(
-            s, cam, gt, bg, filt, cfg, settings, lr, reg_on=False,
+        lambda s, cam, gt, fl, lr: frame0_step(
+            s, cam, gt, bg, fl, cfg, settings, lr, reg_on=False,
         ),
-        static_argnames=("reg",),
     )
 
     order = []
@@ -294,7 +277,7 @@ def train_one_frame(
             order = list(rng.permutation(len(cams)))
         vi = int(order.pop())
         lr = position_lr(it, cfg, spatial)
-        state, loss = step(state, cams[vi], jnp.asarray(images[vi]), lr, False)
+        state, loss = step(state, cams[vi], jnp.asarray(images[vi]), filt, lr)
         if it < cfg.densify_until_iter and it > cfg.densify_from_iter \
                 and it % cfg.densification_interval == 0:
             size_thr = 20.0 if it > cfg.opacity_reset_interval else None
@@ -319,35 +302,13 @@ def train_one_frame(
             order = list(rng.permutation(len(cams)))
         vi = int(order.pop())
         state, loss = step(
-            state, cams[vi], jnp.asarray(images[vi]),
-            position_lr(iterations + it, cfg, spatial), False)
+            state, cams[vi], jnp.asarray(images[vi]), filt,
+            position_lr(iterations + it, cfg, spatial))
     g = state.gaussians
 
-    # export artifacts
-    it_name = f"{iterations}_compress"
-    mode_dir = os.path.join(frame_dir, out_mode)
-    ply_dir = os.path.join(mode_dir, "point_cloud", f"iteration_{it_name}")
-    os.makedirs(ply_dir, exist_ok=True)
-    save_gaussian_ply(os.path.join(ply_dir, "point_cloud.ply"), g)
-    with open(os.path.join(mode_dir, "cameras.json"), "w") as f:
-        json.dump(cameras_json, f)
-    train_dir = os.path.join(mode_dir, "train", f"ours_{it_name}")
-    os.makedirs(os.path.join(train_dir, "gt"), exist_ok=True)
-    os.makedirs(os.path.join(train_dir, "depth_expected_mm"), exist_ok=True)
-    scales, opacity = fused_render_args(g, filt)
-    for i, cam in enumerate(cams):
-        out = rasterize(
-            means3d=g.xyz, opacity=opacity, scaling=scales,
-            rotation=g.get_rotation, camera=cam, shs=g.shs, bg=bg,
-            valid=g.valid, settings=settings)
-        save_image(os.path.join(train_dir, "gt", f"{i:05d}.png"),
-                   np.asarray(out["color"]))
-        for did in (i, i + 1):  # n3d loader reads vid+1 (infer_data.py:224)
-            save_depth_mm(
-                os.path.join(train_dir, "depth_expected_mm",
-                             f"{did:05d}.png"),
-                np.asarray(out["depth"]))
-    print(f"frame done: {int(g.num_valid)} gaussians → {mode_dir}")
+    export_frame_artifacts(
+        frame_dir, out_mode, iterations, g, filt, cams, cameras_json,
+        settings)
 
 
 def main():

@@ -19,24 +19,28 @@ from igs_tpu.stream.refine import RefineConfig
 from igs_tpu.train.driver import OptConfig
 
 
-def build_model(system: Dict[str, Any], encoder_bf16: bool = False) -> AGMNet:
-    """system section (configs/train.yaml) → AGMNet."""
+def build_model(system: Dict[str, Any], encoder_bf16: bool = False,
+                bf16_default: bool = False) -> AGMNet:
+    """system section (configs/train.yaml) → AGMNet.
+
+    ``bf16_default``: default for the per-module bf16 compute flags
+    (params stay f32). The INFERENCE entry point passes True on real
+    TPUs (A/B'd PSNR-neutral at the production shape,
+    tools_bench_agm_bf16.py: AGM forward 309 → 268 ms); training keeps
+    the exact f32 path unless the config opts in (system.ft_bf16 etc.) —
+    the speed A/B is inference-only evidence and must not silently
+    change training numerics.
+    """
     backbone = system.get("backbone", {})
     transformer = system.get("transformer", {})
     enc = system.get("triplane_encoder", {})
     enc_unet = enc.get("unet", {})
     renderer = system.get("renderer", {})
-    # per-module bf16 compute (params stay f32; reference infers fp16).
-    # Default ON on real TPUs: A/B'd at the production shape in
-    # tools_bench_agm_bf16.py (AGM forward 309 → 268 ms, PERF.md r4);
-    # CPU (tests) keeps the exact f32 path.
-    import jax
-
-    on_tpu = jax.default_backend() == "tpu"
     return AGMNet(
-        encoder_bf16=bool(system.get("encoder_bf16", encoder_bf16 or on_tpu)),
-        cnn_bf16=bool(system.get("cnn_bf16", on_tpu)),
-        ft_bf16=bool(system.get("ft_bf16", on_tpu)),
+        encoder_bf16=bool(system.get(
+            "encoder_bf16", encoder_bf16 or bf16_default)),
+        cnn_bf16=bool(system.get("cnn_bf16", bf16_default)),
+        ft_bf16=bool(system.get("ft_bf16", bf16_default)),
         feature_channels=backbone.get("feature_channels", 128),
         backbone_layers=backbone.get("transformer", {}).get("num_layers", 6),
         motion_layers=transformer.get("num_layers", 1),

@@ -55,6 +55,12 @@ class InferDatasetConfig:
     # eval loop needs per-item gaussians; streaming keeps the idx-0-only
     # behavior (gaussians are carried forward)
     load_gs_per_item: bool = False
+    # depth-file id = vid + offset. None → the reference's per-scene-type
+    # quirks (+1 for n3d/meet, −1 for enerf, 0 for sports —
+    # infer_data.py:220-249, a property of how those datasets' RaDe-GS
+    # renders were enumerated). igs_tpu-generated scenes (build_frame0,
+    # synthetic) write depth file i = camera i and set this to 0.
+    depth_id_offset: Optional[int] = None
 
 
 class N3dInferDataset:
@@ -91,20 +97,25 @@ class N3dInferDataset:
     def _paths_for(self, frame_dir, next_dir, vid, cameras):
         st = self.cfg.scene_type
         image_name = cameras[vid]["img_name"]
+        off = self.cfg.depth_id_offset
         if st in ("n3d", "sports"):
-            vid_id = str(vid + 1 if st == "n3d" else vid).zfill(5)
+            if off is None:
+                off = 1 if st == "n3d" else 0
             img_dir = "images_r2"
             ext = ".png"
         elif st == "meet":
-            vid_id = str(vid + 1).zfill(5)
+            if off is None:
+                off = 1
             img_dir = "images"
             ext = ".png"
         elif st == "enerf":
-            vid_id = str(max(vid - 1, 0)).zfill(5)
+            if off is None:
+                off = -1
             img_dir = "images_2"
             ext = ".jpg"
         else:
             raise ValueError(f"unknown scene_type {st}")
+        vid_id = str(max(vid + off, 0)).zfill(5)
         base = os.path.join(self.cfg.gs_mode, "train", f"ours_{self.cfg.iter}")
         return {
             "cur": os.path.join(frame_dir, img_dir, image_name + ext),

@@ -137,13 +137,14 @@ def build_synthetic_scene(
                 Image.fromarray(u8).save(
                     os.path.join(train_dir, "gt", f"{i:05d}.png"))
                 dmm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
-                # the n3d infer loader reads depth at id (vid+1)
-                # (infer_data.py:224 quirk) while the train loader reads id
-                # vid (data.py:153) — write both names.
-                for did in (i, i + 1):
-                    Image.fromarray(dmm, mode="I;16").save(
-                        os.path.join(
-                            train_dir, "depth_expected_mm", f"{did:05d}.png"))
+                # depth file i = camera i; consumers set
+                # data.depth_id_offset: 0 (the reference's vid+1 n3d
+                # quirk reflects ITS datasets' render enumeration; the
+                # old write-both-names hack self-overwrote, handing the
+                # loader the NEXT camera's depth)
+                Image.fromarray(dmm, mode="I;16").save(
+                    os.path.join(
+                        train_dir, "depth_expected_mm", f"{i:05d}.png"))
 
     # bbox over the dynamic region (generous)
     with open(os.path.join(root, "bbox.json"), "w") as fj:

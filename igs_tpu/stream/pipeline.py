@@ -481,7 +481,9 @@ class StreamingPipeline:
             if pngs:
                 from PIL import Image
 
-                frames = [np.asarray(Image.open(p)) / 255.0 for p in pngs]
+                # keep frames uint8 — a 300-frame full-res spiral as
+                # float64 would hold ~10 GB on the host
+                frames = [np.asarray(Image.open(p)) for p in pngs]
                 save_video(
                     os.path.join(cfg.workspace, "free_view.mp4"),
                     frames, fps=30)

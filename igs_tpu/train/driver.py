@@ -214,14 +214,20 @@ def make_train_step(
 
 
 def run_guarded_step(step_fn, workspace: str, global_step: int,
-                     params, opt_state, *step_args):
+                     params, opt_state, *step_args, shadow=None):
     """Run one train step; on failure save state to <workspace>/crash/.
 
     Parity: the reference wraps ``accelerator.backward`` and saves full
     trainer state to ``<workspace>/error`` before re-raising
     (main.py:278-287). ``--resume <workspace>/crash/params.msgpack``
-    restores it. The save itself is best-effort: with ``donate_argnums``
-    a device-side failure may have invalidated the input buffers.
+    restores it.
+
+    ``shadow``: optional host-side (params, opt_state, step) snapshot.
+    The step jits with donate_argnums, so a DEVICE-side failure (OOM,
+    NaN assert) surfaces only after the live input buffers were donated
+    — the live save then fails and the shadow (refreshed periodically by
+    the driver) is saved instead. Without a shadow only pre-dispatch
+    (trace-time) failures can be saved.
     """
     import os
 
@@ -237,9 +243,21 @@ def run_guarded_step(step_fn, workspace: str, global_step: int,
             save_checkpoint(
                 os.path.join(crash_dir, "params.msgpack"),
                 params, opt_state, step=global_step)
-        except Exception as se:  # donated buffers may be gone
-            print(f"crash-save failed: {se}")
+        except Exception as se:  # donated buffers are gone
+            print(f"live crash-save failed ({se})")
+            if shadow is not None:
+                s_params, s_opt, s_step = shadow
+                save_checkpoint(
+                    os.path.join(crash_dir, "params.msgpack"),
+                    s_params, s_opt, step=s_step)
+                print(f"saved shadow snapshot from step {s_step}")
         raise
+
+
+def host_snapshot(params, opt_state, step: int):
+    """Host-side copy of the trainer state (shadow for run_guarded_step —
+    survives donated-buffer invalidation on device-side step failures)."""
+    return (jax.device_get(params), jax.device_get(opt_state), step)
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):

@@ -16,14 +16,17 @@ import numpy as np
 
 
 def to_uint8_image(img: np.ndarray) -> np.ndarray:
-    """(3,H,W) or (H,W,3) or (H,W) float [0,1] → (H,W,3) uint8."""
+    """(3,H,W)/(H,W,3)/(H,W) float [0,1] — or uint8 passthrough — →
+    (H,W,3) uint8."""
     img = np.asarray(img)
-    if img.ndim == 3 and img.shape[0] in (1, 3):
+    if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
         img = img.transpose(1, 2, 0)
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
     if img.shape[-1] == 1:
         img = np.repeat(img, 3, -1)
+    if img.dtype == np.uint8:
+        return img
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 

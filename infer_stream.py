@@ -42,7 +42,8 @@ def main():
     cfg.data["data"]["up_sample"] = cfg.system.get("up_sample", True)
 
     ds = build_dataset(cfg.data, training=False)
-    model = build_model(cfg.system)
+    model = build_model(
+        cfg.system, bf16_default=jax.default_backend() == "tpu")
     stream_cfg, refine_cfg = build_stream_configs(cfg.opt)
     out_h = int(cfg.data["data"].get("output_height", 1014))
     out_w = int(cfg.data["data"].get("output_width", 1352))

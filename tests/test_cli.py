@@ -44,6 +44,7 @@ data:
     output_width: 64
     up_sample: True
     scene_type: n3d
+    depth_id_offset: 0
     start_gs_path: {scene['start_gs_path']}
 opt:
   lr: 1e-3

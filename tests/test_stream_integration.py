@@ -37,6 +37,7 @@ def test_infer_dataset_loads(scene):
         "data_path": scene["pairs"],
         "root_dir": scene["root"],
         "scene_type": "n3d",
+        "depth_id_offset": 0,
         "gs_mode": "3dgs_rade",
         "iter": "6000_compress",
         "input_height": 64, "input_width": 64,
@@ -86,6 +87,7 @@ def test_streaming_pipeline_end_to_end(scene, tmp_path):
         "data_path": scene["pairs"],
         "root_dir": scene["root"],
         "scene_type": "n3d",
+        "depth_id_offset": 0,
         "gs_mode": "3dgs_rade",
         "iter": "6000_compress",
         "input_height": 64, "input_width": 64,
@@ -148,6 +150,7 @@ def test_streaming_pipeline_sharded_refine(scene, tmp_path):
         "data_path": scene["pairs"],
         "root_dir": scene["root"],
         "scene_type": "n3d",
+        "depth_id_offset": 0,
         "gs_mode": "3dgs_rade",
         "iter": "6000_compress",
         "input_height": 64, "input_width": 64,
@@ -196,6 +199,7 @@ def test_streaming_pipeline_free_view(scene, tmp_path):
         "data_path": scene["pairs"],
         "root_dir": scene["root"],
         "scene_type": "n3d",
+        "depth_id_offset": 0,
         "gs_mode": "3dgs_rade",
         "iter": "6000_compress",
         "input_height": 64, "input_width": 64,

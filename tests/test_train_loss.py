@@ -148,3 +148,34 @@ def test_guarded_step_passthrough():
                                {}, None)
     assert float(m["loss"]) == 1.5
     assert not os.path.exists("/tmp/_no_ws/crash")
+
+
+def test_crash_save_falls_back_to_shadow(tmp_path):
+    """Device-side failures invalidate donated live buffers; the guard
+    must then save the shadow snapshot (round-4 review finding)."""
+    import jax
+
+    live = {"w": jnp.arange(4.0)}
+
+    class Deleted:
+        def __init__(self, x):
+            self._x = x
+
+        def __jax_array__(self):
+            raise RuntimeError("buffer was donated")
+
+    def failing_step(p, o, b):
+        raise RuntimeError("device error")
+
+    shadow = ({"w": np.full(4, 5.0, np.float32)}, {"m": np.zeros(4)}, 42)
+    ws = str(tmp_path)
+    with pytest.raises(RuntimeError, match="device error"):
+        run_guarded_step(
+            failing_step, ws, 99,
+            {"w": Deleted(live["w"])}, {"m": Deleted(live["w"])}, None,
+            shadow=shadow)
+    ckpt = os.path.join(ws, "crash", "params.msgpack")
+    assert os.path.exists(ckpt)
+    restored, step = load_checkpoint(ckpt, {"w": jnp.zeros(4)})
+    assert step == 42
+    np.testing.assert_allclose(np.asarray(restored["w"]), 5.0)

@@ -43,7 +43,8 @@ def main():
     from igs_tpu.ops.anchors import select_anchors
     from igs_tpu.parallel.mesh import make_mesh, shard_batch
     from igs_tpu.train.driver import (
-        make_optimizer, make_train_step, run_guarded_step, save_checkpoint,
+        host_snapshot, make_optimizer, make_train_step, run_guarded_step,
+        save_checkpoint,
     )
 
     cfg = load_config(args.config, cli_args=extras)
@@ -51,6 +52,10 @@ def main():
     workspace = opt.get("workspace", "logs/igs_tpu/train")
     os.makedirs(workspace, exist_ok=True)
     dump_config(os.path.join(workspace, "experiment_config.yaml"), cfg)
+    # source snapshot for reproducibility (saveRuntimeCode, main.py:36-59)
+    from igs_tpu.utils.saving import save_runtime_code
+
+    save_runtime_code(workspace)
 
     train_ds = build_dataset(cfg.data, training=True)
     model = build_model(cfg.system)
@@ -192,6 +197,11 @@ def main():
 
     log_path = os.path.join(workspace, "log.jsonl")
     global_step = start_epoch * steps_per_epoch
+    # shadow snapshot for crash-saves: the jitted step donates its
+    # params/opt_state buffers, so a device-side failure invalidates the
+    # live state — refresh a host copy every N steps as the fallback
+    snapshot_every = int(opt.get("crash_snapshot_every", 100))
+    shadow = None
     eval_apply = jax.jit(
         lambda p, b, st, g: model.apply(p, b, st, g, settings))
     rng = np.random.RandomState(0)
@@ -208,10 +218,13 @@ def main():
                 anchor_state = shard_batch(mesh, anchor_state)
                 gaussians = shard_batch(mesh, gaussians)
             t0 = time.time()
+            if snapshot_every and global_step % snapshot_every == 0:
+                shadow = host_snapshot(params, opt_state, global_step)
             # save-state-on-failure (main.py:278-287) inside the guard
             params, opt_state, metrics = run_guarded_step(
                 step_fn, workspace, global_step,
-                params, opt_state, batch, anchor_state, gaussians)
+                params, opt_state, batch, anchor_state, gaussians,
+                shadow=shadow)
             global_step += 1
             if global_step % 10 == 0 or global_step == 1:
                 rec = {
