@@ -31,7 +31,18 @@ def _load_frame(frame_dir: str, images_dir: str, seed: int = 0):
     from igs_tpu.data.dataset import camera_from_json
     from igs_tpu.data.native import load_images_nchw
 
-    with open(os.path.join(frame_dir, "cameras.json")) as f:
+    cam_path = os.path.join(frame_dir, "cameras.json")
+    if not os.path.exists(cam_path):
+        # colmap-converted scenes keep cameras.json at the frame root; a
+        # re-build over an existing gs_mode export finds it one level down
+        import glob as _glob
+
+        hits = sorted(_glob.glob(os.path.join(frame_dir, "*", "cameras.json")))
+        if not hits:
+            raise FileNotFoundError(
+                f"no cameras.json under {frame_dir} (or its gs_mode dirs)")
+        cam_path = hits[0]
+    with open(cam_path) as f:
         cameras_json = json.load(f)
     h = cameras_json[0]["height"]
     w = cameras_json[0]["width"]
@@ -143,6 +154,8 @@ def train_frames_spmd(
     settings = RasterSettings(
         image_height=h, image_width=w, impl="tiles",
         max_pairs=1 << 21, max_per_tile=2048,
+        # count_gaussians always runs the Pallas counting kernel
+        pallas_interpret=jax.default_backend() != "tpu",
     )
 
     states, cams_l, imgs_l, spatials, jsons = [], [], [], [], []
@@ -254,6 +267,8 @@ def train_one_frame(
     settings = RasterSettings(
         image_height=h, image_width=w, impl="tiles",
         max_pairs=1 << 21, max_per_tile=2048,
+        # count_gaussians always runs the Pallas counting kernel
+        pallas_interpret=jax.default_backend() != "tpu",
     )
     bg = jnp.zeros(3)
     spatial = float(np.linalg.norm(
@@ -318,6 +333,9 @@ def main():
     ap.add_argument("--gs-mode", default="3dgs_rade")
     ap.add_argument("--iterations", type=int, default=6000)
     ap.add_argument("--prune-percent", type=float, default=0.45)
+    ap.add_argument("--finetune-iters", type=int, default=1000,
+                    help="post-prune finetune iterations "
+                         "(compress.py:66-100 runs 1000-5000)")
     ap.add_argument("--capacity", type=int, default=200_000)
     ap.add_argument("--frames", type=int, nargs="*", default=None)
     ap.add_argument("--workers", type=int, default=1,
@@ -361,7 +379,8 @@ def main():
         train_frames_spmd(
             frame_dirs, args.images, args.gs_mode, args.iterations,
             args.prune_percent, args.capacity,
-            n_devices=args.workers if args.workers > 1 else 0)
+            n_devices=args.workers if args.workers > 1 else 0,
+            finetune_iters=args.finetune_iters)
         return
 
     frames = [(scene, f) for scene in scenes for f in frames_of(scene)]

@@ -84,6 +84,13 @@ def create_from_points(
     """
     from igs_tpu.core.sh import rgb_to_sh
 
+    if points.shape[0] > capacity:
+        # more init points than the static budget: keep a uniform subset
+        # (the reference grows dynamically; a fixed-capacity build must
+        # downsample instead of failing)
+        sel = np.linspace(0, points.shape[0] - 1, capacity).astype(int)
+        points = np.asarray(points)[sel]
+        colors = np.asarray(colors)[sel]
     n = points.shape[0]
     pts = jnp.asarray(points, jnp.float32)
     d, _ = knn(pts, pts, 4)  # self + 3 neighbors

@@ -116,3 +116,59 @@ def test_infer_stream_cli(scene, tmp_path, monkeypatch):
     results = json.load(open(os.path.join(ws, "results.json")))
     assert len(results["psnr"]) == 2
     assert results["avg"] > 5.0
+
+
+def test_spmd_sweep_artifacts_feed_datasets(scene, tmp_path, monkeypatch):
+    """VERDICT r3 item 5 acceptance: an SPMD frame sweep's artifacts are
+    consumed by the datasets unchanged. Runs build_frame0 --spmd on two
+    synthetic frames (tiny iters) into a fresh gs_mode, then loads the
+    result through BOTH the train and the infer dataset."""
+    import build_frame0
+
+    root = scene["root"]
+    scene_dir = os.path.join(root, scene["scene_name"])
+    monkeypatch.setattr(sys, "argv", [
+        "build_frame0.py", "--scene", scene_dir, "--images", "images_512",
+        "--gs-mode", "3dgs_sweep", "--iterations", "12",
+        "--capacity", "256", "--frames", "0", "1", "--spmd",
+        "--prune-percent", "0.25", "--finetune-iters", "4",
+    ])
+    build_frame0.main()
+
+    for f in (0, 1):
+        base = os.path.join(scene_dir, f"colmap_{f}", "3dgs_sweep")
+        assert os.path.exists(os.path.join(
+            base, "point_cloud", "iteration_12_compress", "point_cloud.ply"))
+        assert os.path.exists(os.path.join(base, "cameras.json"))
+        assert os.path.exists(os.path.join(
+            base, "train", "ours_12_compress", "gt", "00000.png"))
+        assert os.path.exists(os.path.join(
+            base, "train", "ours_12_compress", "depth_expected_mm",
+            "00000.png"))
+
+    data_cfg = {
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": root,
+        "scene_type": "n3d",
+        "depth_id_offset": 0,
+        "gs_mode": "3dgs_sweep",
+        "iter": "12_compress",
+        "input_height": 64, "input_width": 64,
+        "output_height": 64, "output_width": 64,
+        "num_input_views": 4, "num_output_views": 5,
+        "start_gs_path": os.path.join(
+            scene_dir, "colmap_0", "3dgs_sweep", "point_cloud",
+            "iteration_12_compress", "point_cloud.ply"),
+        "up_sample": True,
+    }
+    from igs_tpu.data.dataset import N3dDataset
+    from igs_tpu.data.infer_data import N3dInferDataset
+
+    train_ds = N3dDataset(data_cfg, training=True)
+    item = train_ds[0]
+    assert np.isfinite(item["depth"]).all()
+    infer_ds = N3dInferDataset(data_cfg, training=False)
+    it0 = infer_ds[0]
+    assert it0["gs_path"].endswith("point_cloud.ply")
+    assert np.isfinite(it0["depth"]).all()
