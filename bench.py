@@ -71,6 +71,15 @@ def main():
         image_height=h, image_width=w, impl="pallas_packed",
         max_pairs=1 << 19, max_per_tile=1024, chunk=128,
     )
+    # deployment-style budget: measured pair count × 1.25 headroom (the
+    # ceiling budget above is ~2× this scene's need and every
+    # budget-sized stage pays for the STATIC size; overflow stays
+    # surfaced if the calibrated budget is ever exceeded)
+    from igs_tpu.ops.rasterize import calibrate_pair_budget
+
+    settings, measured_pairs = calibrate_pair_budget(
+        g.get_xyz, g.get_opacity, g.get_scaling, g.get_rotation, cam,
+        valid=g.valid, settings=settings)
 
     def loss_fn(xyz, op_raw, scale_raw, rot_raw, shs):
         out = rasterize(

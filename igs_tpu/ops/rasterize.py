@@ -473,3 +473,29 @@ def count_gaussians_dense(
     count = jnp.sum(accept, axis=1).astype(jnp.int32)[inv]
     score = jnp.sum(jnp.where(accept, opac[:, None], 0.0), axis=1)[inv]
     return count, score
+
+
+def calibrate_pair_budget(
+    means3d, opacity, scaling, rotation, camera,
+    valid=None, settings: RasterSettings = RasterSettings(),
+    headroom: float = 1.25, quantum: int = 32768,
+):
+    """Right-size ``max_pairs`` to the scene: measured pair count ×
+    headroom, rounded up to ``quantum``, capped at the configured budget.
+
+    Every pair-budget-sized stage (expansion, sorts, gathers, kernel
+    walks, the backward reduction) pays for the STATIC budget, not the
+    live pair count — an oversized budget taxes the whole pipeline.
+    This is how a deployment should pick the budget for a scene:
+    measure once, add headroom for motion/densify, keep the overflow
+    surfacing as the guard (rasterize warns and the pipeline records
+    overflow_events when the calibrated budget is ever exceeded).
+    Returns (settings with the calibrated max_pairs, measured_pairs).
+    """
+    pairs = build_pairs_packed(
+        means3d, opacity, scaling, rotation, camera,
+        valid=valid, settings=settings)
+    measured = int(pairs.num_pairs)
+    budget = int(-(-(measured * headroom) // quantum) * quantum)
+    budget = max(quantum, min(budget, settings.max_pairs))
+    return settings._replace(max_pairs=budget), measured
