@@ -76,14 +76,18 @@ def build_raster_settings(
         # can opt into interpret mode explicitly)
         impl = "pallas_packed" if jax.default_backend() == "tpu" else "tiles"
     if max_pairs <= 0:
-        # default pair budget ~4 blended contributions per pixel,
-        # power-of-two, clamped to [2^15, 2^21] — a FIXED 2^21 budget
-        # OOM'd small-image training (every pair-proportional buffer in
-        # the vmapped backward scales with the budget, not the image)
+        # default pair budget ~2 blended contributions per pixel,
+        # power-of-two, clamped to [2^15, 2^21]. 2/px = 1<<19 at 512² is
+        # the budget every production measurement runs at (roofline: the
+        # 150k-gaussian N3DV-scale scene uses 82% of it); a FIXED 2^21
+        # budget OOM'd small-image training and taxed every
+        # budget-proportional stage ~2×. Denser scenes overflow LOUDLY
+        # (overflow_events / rasterize warnings) — set opt-level
+        # max_pairs or use ops.rasterize.calibrate_pair_budget then.
         import math
 
         max_pairs = 1 << min(
-            21, max(15, math.ceil(math.log2(max(height * width * 4, 1)))))
+            21, max(15, math.ceil(math.log2(max(height * width * 2, 1)))))
     return RasterSettings(
         image_height=height, image_width=width, impl=impl,
         max_pairs=max_pairs, max_per_tile=max_per_tile,
