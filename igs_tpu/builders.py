@@ -138,6 +138,7 @@ def build_stream_configs(
         depth_view_res=int(opt.get("depth_view_res", 128)),
         exact_knn=bool(opt.get("exact_knn", False)),
         fps_buckets=int(opt.get("fps_buckets", 64)),
+        shared_window_pairs=bool(opt.get("shared_window_pairs", True)),
     )
     refine = RefineConfig(
         position_lr=float(lrs.get("position_lr_init", 0.0016)),

@@ -151,6 +151,7 @@ class AGMNet(nn.Module):
         settings: RasterSettings,
         depth_settings: Optional[RasterSettings] = None,
         shared_cur: bool = False,
+        shared_window_pairs: bool = False,
     ) -> Dict[str, Any]:
         """Run AGM-Net on a batch. Parity: _forward_v3 (IGS.py:114-181).
 
@@ -228,19 +229,55 @@ class AGMNet(nn.Module):
             # (depth-carry views) at depth_settings' resolution — they only
             # feed the /8-res ModLN conditioning (IGS.py:201), so low-res
             # rendering is lossless for the pipeline and ~V× cheaper.
-            def render_split(gs, res, mask, c2ws, fx, fy, bg):
-                gdef = gs.deform(
+            def deform_one(gs, res, mask):
+                return gs.deform(
                     res_xyz=res["xyz"],
                     res_rotation=res.get("rotation"),
                     mask=mask,
                 )
+
+            gdefs = jax.vmap(deform_one)(
+                gaussians, residuals, anchor_state.mask)
+
+            shared_pairs = None
+            if (shared_window_pairs and b > 1
+                    and settings.impl == "pallas_packed"):
+                # the window's candidates share the eval camera and
+                # differ only by intra-window motion; candidate 0's tile
+                # pair list serves all 5 eval renders (per-candidate
+                # FEATURES stay fresh — only tile assignment/depth order
+                # carry the within-window drift). Quality-gated on the
+                # synthetic stream (PERF.md r4).
+                from igs_tpu.ops.rasterize import build_pairs_packed
+
+                g0 = jax.tree.map(
+                    lambda x: x[0] if x is not None else None, gdefs)
+                cam0 = Camera.from_c2w(
+                    batch["c2w_output"][0, 0], (fovx[0], fovy[0]),
+                    (settings.image_height, settings.image_width))
+                shared_pairs = build_pairs_packed(
+                    g0.get_xyz, g0.get_opacity, g0.get_scaling,
+                    g0.get_rotation, cam0, valid=g0.valid,
+                    settings=settings)
+
+            if shared_pairs is not None:
+                # the vmapped pallas kernel needs ALL operands batched
+                # (mixed batched/unbatched HBM refs fail Mosaic's ANY-
+                # space lowering) — broadcast the single pair list; the
+                # win is building it once, not storing it once
+                shared_pairs = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (b,) + x.shape),
+                    shared_pairs)
+
+            def render_split(gdef, pv, c2ws, fx, fy, bg):
                 from igs_tpu.models.renderer import render_views
 
                 cam0 = Camera.from_c2w(
                     c2ws[0], (fx, fy),
                     (settings.image_height, settings.image_width))
                 cams0 = jax.tree.map(lambda x: jnp.asarray(x)[None], cam0)
-                out0 = render_views(gdef, cams0, bg, settings)
+                out0 = render_views(gdef, cams0, bg, settings,
+                                    pairs_override=pv)
                 camsd = jax.vmap(
                     lambda c2w: Camera.from_c2w(
                         c2w, (fx, fy),
@@ -262,9 +299,10 @@ class AGMNet(nn.Module):
                         jnp.max(outd["overflow_tiles"])),
                 }
 
-            out = jax.vmap(render_split)(
-                gaussians, residuals, anchor_state.mask,
-                batch["c2w_output"], fovx, fovy, bgs,
-            )
+            out = jax.vmap(
+                render_split,
+                in_axes=(0, None if shared_pairs is None else 0,
+                         0, 0, 0, 0),
+            )(gdefs, shared_pairs, batch["c2w_output"], fovx, fovy, bgs)
         out["motion_feature"] = triplane
         return out

@@ -76,6 +76,7 @@ def render_views(
     settings: RasterSettings,
     ret_rgb: bool = True,
     parallel: bool = False,
+    pairs_override=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a set of output views of one deformed Gaussians model.
 
@@ -98,6 +99,7 @@ def render_views(
             bg=bg,
             valid=gaussians.valid,
             settings=settings,
+            pairs_override=pairs_override,
         )
         return {
             "images_pred": out["color"],

@@ -229,11 +229,13 @@ def rasterize(
         raise ValueError("provide exactly one of shs / colors_precomp")
 
     if pairs_override is not None:
-        if settings.impl != "pallas_packed" or strip_row0 is not None \
-                or settings.clamp_grads:
+        if settings.impl != "pallas_packed" or strip_row0 is not None:
             raise NotImplementedError(
                 "pairs_override requires impl='pallas_packed' without "
-                "strip_row0/clamp_grads (the refine-loop rebin path)")
+                "strip_row0 (refine rebin / shared-window-pairs paths)")
+        # clamp_grads is tolerated but NOT applied on this path (it routes
+        # through the plain VJP); forward outputs are identical — the
+        # consumers (streaming AGM eval renders) never differentiate.
     if settings.clamp_grads:
         if strip_row0 is not None:
             # custom_vjp can't carry the shard_map-traced row offset

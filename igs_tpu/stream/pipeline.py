@@ -73,6 +73,12 @@ class StreamConfig:
     # for the FPS anchor stage (1 = exact sequential greedy FPS)
     exact_knn: bool = False
     fps_buckets: int = 64
+    # share candidate 0's eval-render tile-pair list across the window's
+    # candidates (same camera; only intra-window motion goes stale while
+    # features stay fresh). Default ON: ΔPSNR 8e-5 dB on the synthetic
+    # stream at ~4 px/frame motion (PERF.md r4); set false to force
+    # exact per-candidate binning.
+    shared_window_pairs: bool = True
 
 
 class StreamingPipeline:
@@ -145,6 +151,7 @@ class StreamingPipeline:
                     params, batch, state, gaussians, self.agm_settings,
                     depth_settings=self.depth_settings,
                     shared_cur=cfg.shared_cur_cnn,
+                    shared_window_pairs=cfg.shared_window_pairs,
                 )
             )
         self._select_anchors = jax.jit(

@@ -167,11 +167,20 @@ def main():
     )(jax.random.PRNGKey(0))
     # shared_cur matches the streaming pipeline (every candidate in a
     # window shares the key frame; pipeline.py shared_cur_cnn)
+    # headline = the production streaming path (shared_cur +
+    # shared_window_pairs, both pipeline defaults); the exact
+    # per-candidate-binning variant is reported alongside
     napply = jax.jit(lambda p, bt: model.apply(
         p, bt, astate, gb, agm_settings,
         depth_settings=depth_settings,
-        shared_cur=True)["images_pred"])
+        shared_cur=True, shared_window_pairs=True)["images_pred"])
     results["agm_forward_s"] = timeit(napply, params, batch, iters=3, K=4)
+    napply_exact = jax.jit(lambda p, bt: model.apply(
+        p, bt, astate, gb, agm_settings,
+        depth_settings=depth_settings,
+        shared_cur=True)["images_pred"])
+    results["agm_forward_exact_pairs_s"] = timeit(
+        napply_exact, params, batch, iters=3, K=4)
 
     # derived: streaming sec/frame for a 5-frame key window
     window = (
