@@ -25,18 +25,24 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh):
+def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh,
+                      shared_cur: bool = False,
+                      shared_window_pairs: bool = False):
     """jitted (params, batch, state, gaussians) → AGM outputs, with the
     candidate-frame batch axis sharded over ``mesh``'s ``data`` axis.
 
     Every leaf of batch/state/gaussians must have the batch-size leading
     axis divisible by mesh.shape['data']; params are replicated.
+    ``shared_cur``/``shared_window_pairs`` apply per shard (each device's
+    local candidates still share the key frame / eval camera).
     """
 
     def local_apply(params, batch, state, gaussians):
         return model.apply(
             params, batch, state, gaussians, settings,
             depth_settings=depth_settings,
+            shared_cur=shared_cur,
+            shared_window_pairs=shared_window_pairs,
         )
 
     kwargs = dict(

@@ -143,7 +143,9 @@ class StreamingPipeline:
             self.mesh = make_mesh(data=cfg.data_parallel, tile=1,
                                   devices=jax.devices()[:cfg.data_parallel])
             self._agm_apply = sharded_agm_apply(
-                model, self.agm_settings, self.depth_settings, self.mesh)
+                model, self.agm_settings, self.depth_settings, self.mesh,
+                shared_cur=cfg.shared_cur_cnn,
+                shared_window_pairs=cfg.shared_window_pairs)
         else:
             self.mesh = None
             self._agm_apply = jax.jit(
