@@ -171,3 +171,16 @@ def get_rays(directions: jnp.ndarray, c2w: jnp.ndarray, keepdim: bool = True):
     if not keepdim:
         rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
     return rays_o, rays_d
+
+
+def ray_to_plucker(rays: jnp.ndarray) -> jnp.ndarray:
+    """[origin | dir] (..., 6) → Plücker [unit dir | moment o×d] (..., 6).
+
+    Parity: igs/IGS.py:286-295 (torch F.normalize has eps=1e-12 on the
+    denominator; matched here so zero-direction rows behave identically).
+    """
+    origin, direction = rays[..., :3], rays[..., 3:6]
+    direction = direction / jnp.linalg.norm(
+        direction, axis=-1, keepdims=True).clip(1e-12)
+    moment = jnp.cross(origin, direction)
+    return jnp.concatenate([direction, moment], axis=-1)

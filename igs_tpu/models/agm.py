@@ -80,9 +80,9 @@ class AGMNet(nn.Module):
                 self.feature_channels, (3, 3), padding=1, name="upsample"
             )
         if self.use_condition3d:
-            mod_dim = 4 if self.local_ray else 33
+            # mod dim (4 local / 33 plucker, IGS.py:91-95) is implied by
+            # the condition built in condition3d — ModLN is nn.compact
             self.modln = ModLN(self.feature_channels, name="ModLN")
-            del mod_dim  # mod dim implied by cond input
         self.triplane_encoder = GridEncoder(
             in_channels=self.feature_channels,
             num_attention_heads=self.encoder_heads,
@@ -119,15 +119,30 @@ class AGMNet(nn.Module):
             motion = self.upsample(motion.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         return motion
 
-    def condition3d(self, motion_feature, local_rays, depth):
+    def condition3d(self, motion_feature, rays, depth):
         """ModLN(motion | rays+depth). Parity: IGS.py:185-210.
 
-        motion_feature (B·V, C, h, w); local_rays (B, h, w, 3);
-        depth (B, V, H, W) full-res → bilinear to (h, w).
+        motion_feature (B·V, C, h, w); depth (B, V, H, W) full-res →
+        bilinear to (h, w). ``rays``: with ``local_ray=True`` the shared
+        camera-local dirs (B, h, w, 3) repeated across views; with
+        ``local_ray=False`` (the shipped train.yaml:74 path) per-view
+        WORLD rays (B, V, h, w, 6) → Plücker (IGS.py:286-295) → degree-3
+        real-SH features of direction and moment (IGS.py:195-199),
+        a 32-channel ray code + depth = the 33-dim ModLN condition.
         """
         bv, c, h, w = motion_feature.shape
         b, v = depth.shape[:2]
-        ray = jnp.repeat(local_rays, v, axis=0)  # (B·V, h, w, 3)
+        if self.local_ray:
+            ray = jnp.repeat(rays, v, axis=0)  # (B·V, h, w, 3)
+        else:
+            from igs_tpu.core.camera import ray_to_plucker
+            from igs_tpu.core.sh import rsh_cart_3
+
+            plucker = ray_to_plucker(rays)  # (B, V, h, w, 6)
+            ray = jnp.concatenate(
+                [rsh_cart_3(plucker[..., :3]),
+                 rsh_cart_3(plucker[..., 3:6])], axis=-1)
+            ray = ray.reshape(bv, h, w, 32)
         # antialias=False: torch F.interpolate(bilinear, align_corners=False)
         # semantics (IGS.py:201) — jax's default antialiasing diverges on
         # downsample (caught by test_upsample_resize_parity).
@@ -173,7 +188,10 @@ class AGMNet(nn.Module):
             cur = batch["cur_images_input"].reshape(-1, c, hh, ww)
             motion = self.motion_features(cur, nxt)
         if self.use_condition3d:
-            motion = self.condition3d(motion, batch["local_rays"], batch["depth"])
+            # IGS.py:167 — world rays feed the Plücker path, local dirs
+            # the local_ray path
+            ray_key = "local_rays" if self.local_ray else "rays"
+            motion = self.condition3d(motion, batch[ray_key], batch["depth"])
 
         triplane = self.triplane_encoder(
             motion, anchor_state.anchor_points, batch["FOV"], batch["c2w_input"]

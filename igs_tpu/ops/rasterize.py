@@ -233,9 +233,6 @@ def rasterize(
             raise NotImplementedError(
                 "pairs_override requires impl='pallas_packed' without "
                 "strip_row0 (refine rebin / shared-window-pairs paths)")
-        # clamp_grads is tolerated but NOT applied on this path (it routes
-        # through the plain VJP); forward outputs are identical — the
-        # consumers (streaming AGM eval renders) never differentiate.
     if settings.clamp_grads:
         if strip_row0 is not None:
             # custom_vjp can't carry the shard_map-traced row offset
@@ -246,27 +243,21 @@ def rasterize(
         render = _rasterize_clamped
     else:
         render = _rasterize_plain
-    if pairs_override is not None:
-        out, radii, overflow = _rasterize_plain(
-            means3d, opacity, scaling, rotation, shs, colors_precomp,
-            means2d_offset, bg, camera, settings, valid, strip_row0,
-            pairs_override,
-        )
-    else:
-        out, radii, overflow = render(
-            means3d,
-            opacity,
-            scaling,
-            rotation,
-            shs,
-            colors_precomp,
-            means2d_offset,
-            bg,
-            camera,
-            settings,
-            valid,
-            strip_row0,
-        )
+    out, radii, overflow = render(
+        means3d,
+        opacity,
+        scaling,
+        rotation,
+        shs,
+        colors_precomp,
+        means2d_offset,
+        bg,
+        camera,
+        settings,
+        valid,
+        strip_row0,
+        pairs_override,
+    )
     return {
         "overflow_tiles": overflow,
         "color": out.color,
@@ -296,9 +287,10 @@ def _rasterize_plain(
 
 
 def _clamped_core(settings, args):
-    m3, op, sc, ro, sh, cp, m2o, bg, camera, valid, strip_row0 = args
+    m3, op, sc, ro, sh, cp, m2o, bg, camera, valid, strip_row0, pairs = args
     out, proj, overflow = _rasterize_impl(
-        m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid, strip_row0
+        m3, op, sc, ro, sh, cp, m2o, bg, camera, settings, valid, strip_row0,
+        pairs,
     )
     return out, jax.lax.stop_gradient(proj.radius), \
         jax.lax.stop_gradient(overflow)
@@ -330,13 +322,16 @@ _clamped_call.defvjp(_clamped_fwd, _clamped_bwd)
 def _rasterize_clamped(
     means3d, opacity, scaling, rotation, shs, colors_precomp,
     means2d_offset, bg, camera, settings, valid, strip_row0=None,
+    pairs_override=None,
 ):
     """Clamp-variant: param grads clamped to ±15 (means2d/colors exempt,
-    matching …_rade_clamp/__init__.py:156-162)."""
+    matching …_rade_clamp/__init__.py:156-162). pairs_override rides
+    inside the custom-VJP args so the clamp applies on the rebin /
+    shared-window-pairs paths too (round-4 advisor finding)."""
     return _clamped_call(
         settings,
         (means3d, opacity, scaling, rotation, shs, colors_precomp,
-         means2d_offset, bg, camera, valid, strip_row0),
+         means2d_offset, bg, camera, valid, strip_row0, pairs_override),
     )
 
 

@@ -104,10 +104,9 @@ def save_video_avi(path: str, frames: List[np.ndarray], fps: int = 30,
     for f in frames8:
         buf = io.BytesIO()
         Image.fromarray(f).save(buf, format="JPEG", quality=quality)
-        data = buf.getvalue()
-        if len(data) % 2:
-            data += b"\x00"
-        jpegs.append(data)
+        # unpadded: chunk() adds the RIFF word-align pad OUTSIDE ckSize
+        # (pre-padding here made every 00dc ckSize nonconforming)
+        jpegs.append(buf.getvalue())
     max_size = max(len(j) for j in jpegs)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:

@@ -365,6 +365,20 @@ def test_rsh_cart_3_parity():
     allclose(want, got, atol=1e-5, name="rsh_cart_3")
 
 
+def test_ray_to_plucker_parity():
+    """ray_to_plucker vs igs.IGS.ray_to_plucker (IGS.py:286-295), incl.
+    the F.normalize eps on (near-)zero directions."""
+    from igs.IGS import ray_to_plucker as ref_plucker
+    from igs_tpu.core.camera import ray_to_plucker
+
+    rng = np.random.RandomState(11)
+    rays = rng.normal(size=(4, 5, 7, 6)).astype(np.float32)
+    rays[0, 0, 0, 3:] = 0.0  # zero-direction row
+    want = ref_plucker(torch.from_numpy(rays)).numpy()
+    got = ray_to_plucker(jnp.asarray(rays))
+    allclose(want, got, atol=1e-6, name="ray_to_plucker")
+
+
 def test_quaternion_multiply_parity():
     """quat_multiply vs general_utils.quaternion_multiply (which normalizes)."""
     from igs.utils.general_utils import quaternion_multiply
@@ -431,10 +445,15 @@ def test_ssim_parity():
     allclose(want_map.numpy(), got_map, atol=1e-4, name="ssim map")
 
 
-def test_forward_v3_end_to_end_parity():
+@pytest.mark.parametrize("local_ray", [True, False])
+def test_forward_v3_end_to_end_parity(local_ray):
     """Reference IGS._forward_v3 (IGS.py:114-181) vs AGMNet, through the
     deformed Gaussians (rasterization stubbed out — the rasterizer has its
-    own oracle parity suite in test_rasterize/test_pallas_blend)."""
+    own oracle parity suite in test_rasterize/test_pallas_blend).
+
+    local_ray=False is the SHIPPED training path (configs/train.yaml:74):
+    condition3D routes through ray_to_plucker + rsh_cart_3 (IGS.py:195-199)
+    — the 33-channel ModLN condition."""
     from igs.IGS import IGS as RefIGS
     from igs.models.gs import GaussianModel as RefGM
     from igs_tpu.core.gaussians import Gaussians
@@ -477,7 +496,7 @@ def test_forward_v3_end_to_end_parity():
             "feature_mode": "irgrid",
             "feature_channels": {"xyz": 3, "rotation": 4},
         },
-        "up_sample": True, "use_condition3d": True, "local_ray": True,
+        "up_sample": True, "use_condition3d": True, "local_ray": local_ray,
         "fine_tune_backbone": True,
     }
     ref = RefIGS(cfg).eval()
@@ -503,6 +522,9 @@ def test_forward_v3_end_to_end_parity():
         "next_images_input": rng.uniform(0, 1, (b, v, 3, hh, hh)).astype(np.float32),
         "depth": rng.uniform(1, 5, (b, v, hh, hh)).astype(np.float32),
         "local_rays": rng.normal(size=(b, feat_res, feat_res, 3)).astype(np.float32),
+        # world [origin | dir] rays per input view (data.py:236-242);
+        # unnormalized dirs — ray_to_plucker must normalize identically
+        "rays": rng.normal(size=(b, v, feat_res, feat_res, 6)).astype(np.float32),
         "FOV": np.full((b, 2), 0.9, np.float32),
         "c2w_input": _look_at_cameras(b, v),
         "c2w_output": _look_at_cameras(b, 1),
@@ -561,7 +583,7 @@ def test_forward_v3_end_to_end_parity():
     params = tc.fix_mlp_output_layer(head["params"])
     params["backbone"] = bb["params"]
 
-    model = AGMNet()
+    model = AGMNet(local_ray=local_ray)
     batch_j = {k: jnp.asarray(v2) for k, v2 in batch_np.items()}
     gaussians = Gaussians.create(xyz, opacity, rot, scaling, shs)
 
@@ -570,7 +592,8 @@ def test_forward_v3_end_to_end_parity():
         cur = batch["cur_images_input"].reshape(-1, c, h_, w_)
         nxt = batch["next_images_input"].reshape(-1, c, h_, w_)
         motion = m_.motion_features(cur, nxt)
-        motion = m_.condition3d(motion, batch["local_rays"], batch["depth"])
+        ray_key = "local_rays" if m_.local_ray else "rays"
+        motion = m_.condition3d(motion, batch[ray_key], batch["depth"])
         triplane = m_.triplane_encoder(
             motion, anchor_state.anchor_points, batch["FOV"],
             batch["c2w_input"])

