@@ -167,6 +167,7 @@ class AGMNet(nn.Module):
         depth_settings: Optional[RasterSettings] = None,
         shared_cur: bool = False,
         shared_window_pairs: bool = False,
+        shared_pairs_drift_px: float = 8.0,
     ) -> Dict[str, Any]:
         """Run AGM-Net on a batch. Parity: _forward_v3 (IGS.py:114-181).
 
@@ -278,6 +279,32 @@ class AGMNet(nn.Module):
                     g0.get_rotation, cam0, valid=g0.valid,
                     settings=settings)
 
+                # runtime staleness signal (round-4 verdict weak-3): the
+                # pair list goes stale as candidates drift from candidate
+                # 0. Report, per candidate, the fraction of valid
+                # gaussians whose eval-view pixel position moved more
+                # than ``shared_pairs_drift_px`` (default half a 16-px
+                # tile — the scale at which tile assignment changes).
+                # The pipeline trips on this and rebuilds exact pairs.
+                fpt = cam0.full_proj_transform
+
+                def pix_xy(xyz):
+                    ph = xyz @ fpt[:3, :] + fpt[3, :]
+                    p = ph[:, :2] / (ph[:, 3:4] + 1e-7)
+                    return jnp.stack(
+                        [((p[:, 0] + 1) * settings.image_width - 1) * 0.5,
+                         ((p[:, 1] + 1) * settings.image_height - 1) * 0.5],
+                        -1)
+
+                xy = jax.vmap(lambda g: pix_xy(g.get_xyz))(gdefs)
+                drift = jnp.linalg.norm(xy - xy[:1], axis=-1)  # (B, N)
+                vmask = gdefs.valid
+                if vmask is None:
+                    vmask = jnp.ones(drift.shape, bool)
+                moved = (drift > shared_pairs_drift_px) & vmask
+                pair_drift_frac = (
+                    moved.sum(-1) / jnp.maximum(1, vmask.sum(-1)))
+
             if shared_pairs is not None:
                 # the vmapped pallas kernel needs ALL operands batched
                 # (mixed batched/unbatched HBM refs fail Mosaic's ANY-
@@ -322,5 +349,7 @@ class AGMNet(nn.Module):
                 in_axes=(0, None if shared_pairs is None else 0,
                          0, 0, 0, 0),
             )(gdefs, shared_pairs, batch["c2w_output"], fovx, fovy, bgs)
+            if shared_pairs is not None:
+                out["pair_drift_frac"] = pair_drift_frac
         out["motion_feature"] = triplane
         return out

@@ -27,7 +27,8 @@ except ImportError:  # pragma: no cover
 
 def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh,
                       shared_cur: bool = False,
-                      shared_window_pairs: bool = False):
+                      shared_window_pairs: bool = False,
+                      shared_pairs_drift_px: float = 8.0):
     """jitted (params, batch, state, gaussians) → AGM outputs, with the
     candidate-frame batch axis sharded over ``mesh``'s ``data`` axis.
 
@@ -43,6 +44,7 @@ def sharded_agm_apply(model, settings, depth_settings, mesh: Mesh,
             depth_settings=depth_settings,
             shared_cur=shared_cur,
             shared_window_pairs=shared_window_pairs,
+            shared_pairs_drift_px=shared_pairs_drift_px,
         )
 
     kwargs = dict(

