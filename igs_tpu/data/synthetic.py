@@ -52,18 +52,29 @@ def _make_cameras(n_cams: int, radius: float = 4.0, fov: float = 0.8,
     return cams
 
 
-def _scene_gaussians(n: int, seed: int, t: float) -> Gaussians:
-    """A moving blob of Gaussians: static shell + dynamic core drifting."""
+def _scene_gaussians(n: int, seed: int, t: float,
+                     motion_scale: float = 1.0,
+                     static_frac: float = 0.5,
+                     opacity_range=(1.0, 4.0),
+                     scale_range=(-2.8, -1.8)) -> Gaussians:
+    """A moving blob of Gaussians: static shell + dynamic core drifting.
+
+    The defaults suit the 64² toy scene; at higher resolution / gaussian
+    count pass a sparser, smaller, more transparent population
+    (static_frac≈0.3, opacity_range≈(-0.5, 2.0), scale_range≈(-3.8,
+    -2.6)) or the shell saturates alpha and fully occludes the moving
+    core (no visible motion to learn)."""
     rng = np.random.RandomState(seed)
-    n_static = n // 2
+    n_static = int(n * static_frac)
     static = rng.uniform(-1.5, 1.5, (n_static, 3)).astype(np.float32)
     core = rng.uniform(-0.5, 0.5, (n - n_static, 3)).astype(np.float32)
-    core = core + np.array([0.6 * np.sin(t), 0.3 * np.cos(t), 0.0], np.float32)
+    core = core + motion_scale * np.array(
+        [0.6 * np.sin(t), 0.3 * np.cos(t), 0.0], np.float32)
     xyz = np.concatenate([static, core])
-    opacity = rng.uniform(1.0, 4.0, (n, 1)).astype(np.float32)
+    opacity = rng.uniform(*opacity_range, (n, 1)).astype(np.float32)
     rot = rng.normal(size=(n, 4)).astype(np.float32)
     rot /= np.linalg.norm(rot, axis=1, keepdims=True)
-    scaling = rng.uniform(-2.8, -1.8, (n, 3)).astype(np.float32)
+    scaling = rng.uniform(*scale_range, (n, 3)).astype(np.float32)
     shs = np.zeros((n, 16, 3), np.float32)
     shs[:, 0] = rng.uniform(-1.0, 2.0, (n, 3))
     return Gaussians.create(xyz, opacity, rot, scaling, shs)
@@ -81,33 +92,55 @@ def build_synthetic_scene(
     gs_mode: str = "3dgs_rade",
     iteration: str = "6000_compress",
     settings: Optional[RasterSettings] = None,
+    motion_scale: float = 1.0,
+    static_frac: float = 0.5,
+    opacity_range=(1.0, 4.0),
+    scale_range=(-2.8, -1.8),
 ) -> dict:
-    """Build the scene tree; returns paths/info for the datasets."""
+    """Build the scene tree; returns paths/info for the datasets.
+
+    ``motion_scale`` scales the dynamic core's drift (1.0 ≈ 18 px/frame
+    at 256²; use ~0.3 for an N3DV-like few-px/frame training scene).
+    """
     if settings is None:
+        import math
+
         settings = RasterSettings(
             image_height=height, image_width=width, impl="tiles",
-            max_pairs=1 << 15, max_per_tile=512, chunk=64,
+            max_pairs=1 << min(
+                21, max(15, math.ceil(math.log2(height * width * 2)))),
+            max_per_tile=512, chunk=64,
         )
     cams = _make_cameras(n_cams, height=height, width=width)
     fov = 2 * np.arctan(width / (2 * cams[0]["fx"]))
 
-    def render(g, cam_json):
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :3] = np.array(cam_json["rotation"])
-        c2w[:3, 3] = np.array(cam_json["position"])
+    import jax
+
+    @jax.jit
+    def _render_jit(g, c2w):
         cam = Camera.from_c2w(c2w, (fov, fov), (height, width))
         out = rasterize(
             means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
             rotation=g.get_rotation, camera=cam, shs=g.shs, valid=g.valid,
             settings=settings,
         )
-        img = np.clip(np.asarray(out["color"]), 0, 1)
-        return img, np.asarray(out["depth"])
+        return jnp.clip(out["color"], 0, 1), out["depth"]
+
+    def render(g, cam_json):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.array(cam_json["rotation"])
+        c2w[:3, 3] = np.array(cam_json["position"])
+        img, depth = _render_jit(g, jnp.asarray(c2w))
+        return np.asarray(img), np.asarray(depth)
 
     scene_dir = os.path.join(root, scene_name)
     for f in range(n_frames):
         t = 0.4 * f
-        g = _scene_gaussians(n_gaussians, seed=0, t=t)
+        g = _scene_gaussians(n_gaussians, seed=0, t=t,
+                             motion_scale=motion_scale,
+                             static_frac=static_frac,
+                             opacity_range=opacity_range,
+                             scale_range=scale_range)
         frame_dir = os.path.join(scene_dir, f"colmap_{f}")
         for sub in ("images_r2", "images_512"):
             os.makedirs(os.path.join(frame_dir, sub), exist_ok=True)

@@ -175,6 +175,75 @@ def test_use_new_shs_freezes_original_rows():
     assert not np.asarray(frozen.init_valid[96:]).any()
 
 
+def test_rebin_quality_meet_rig():
+    """Quality gate for the configuration rebin_every is RETAINED for
+    (round-4 verdict weak-4): a meet/enerf-shaped rig — few cameras,
+    use_densify=False — refined with cached pairs must land within
+    0.05 dB of exact binning on the eval view."""
+    from igs_tpu.stream.refine import (
+        RefineConfig, init_refine_state, refine_run, convert2stream,
+    )
+    from tests.conftest import make_camera, random_gaussians
+
+    target = random_gaussians(n=128, seed=11)
+    # meet rig: ~6 training cameras on a small arc + 1 eval camera
+    cams_l, n_views = [], 6
+    for i in range(n_views):
+        cams_l.append(make_camera())
+    # vary extrinsics: shift each camera along x
+    import jax as _jax
+    from igs_tpu.core.camera import Camera
+
+    cams_l = []
+    for i in range(n_views):
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[2, 3] = 4.0
+        w2c[0, 3] = 0.25 * (i - n_views / 2)
+        cams_l.append(Camera.from_w2c(w2c, 0.9, 0.9, height=64, width=64))
+    eval_w2c = np.eye(4, dtype=np.float32)
+    eval_w2c[2, 3] = 4.0
+    eval_cam = Camera.from_w2c(eval_w2c, 0.9, 0.9, height=64, width=64)
+    cams = jax.tree.map(lambda *x: jnp.stack(x), *cams_l)
+    settings = RasterSettings(
+        image_height=64, image_width=64, impl="pallas_packed",
+        max_pairs=1 << 14, chunk=128, outputs="color",
+        pallas_interpret=(jax.default_backend() == "cpu"),
+    )
+
+    def render(g, cam):
+        return rasterize(
+            means3d=g.get_xyz, opacity=g.get_opacity,
+            scaling=g.get_scaling, rotation=g.get_rotation, camera=cam,
+            shs=g.shs, valid=g.valid, settings=settings)["color"]
+
+    gts = jnp.stack([render(target, c) for c in cams_l])
+    gt_eval = np.asarray(render(target, eval_cam))
+    # start = target + small drift (a key-frame hand-off)
+    start = target.replace(
+        xyz=target.xyz
+        + 0.03 * _jax.random.normal(_jax.random.PRNGKey(2), (128, 3)))
+    init = init_refine_state(start, capacity=128)
+    iters = 18
+    order = jnp.asarray(np.arange(iters) % n_views, jnp.int32)
+
+    def psnr_after(k):
+        cfg = RefineConfig(use_densify=False, rebin_every=k)
+        st = refine_run(init, cams, gts, order, jnp.zeros(3), cfg,
+                        settings, jnp.float32(3.0), iters)
+        img = np.clip(np.asarray(render(convert2stream(st), eval_cam)), 0, 1)
+        mse = ((img - np.clip(gt_eval, 0, 1)) ** 2).mean()
+        return -10 * np.log10(mse)
+
+    exact = psnr_after(1)
+    cached = psnr_after(5)
+    start_img = np.clip(np.asarray(render(start, eval_cam)), 0, 1)
+    start_psnr = -10 * np.log10(((start_img - np.clip(gt_eval, 0, 1)) ** 2).mean())
+    # the refine actually improved the eval view...
+    assert exact > start_psnr + 0.5, (start_psnr, exact)
+    # ...and cached pairs match exact binning within the revisit bar
+    assert abs(exact - cached) < 0.05, (exact, cached)
+
+
 def test_rebin_every_matches_exact_binning():
     """cfg.rebin_every>1: cached tile-pair refine tracks the exact loop.
 

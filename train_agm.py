@@ -239,12 +239,24 @@ def main():
                     f.write(json.dumps(rec) + "\n")
             if args.max_steps and global_step >= args.max_steps:
                 break
-        save_checkpoint(
-            os.path.join(workspace, str(epoch), "params.msgpack"),
-            params, opt_state, step=global_step)
+        # opt.save_every (epochs) thins per-epoch checkpoints for
+        # many-epoch runs; the final epoch always saves
+        save_every = int(opt.get("save_every", 1))
+        if (epoch % save_every) == 0 or epoch == ocfg.num_epochs - 1 or (
+                args.max_steps and global_step >= args.max_steps):
+            save_checkpoint(
+                os.path.join(workspace, str(epoch), "params.msgpack"),
+                params, opt_state, step=global_step)
 
         # per-epoch eval over the FULL test loader (main.py:378-432 walks
-        # the whole test set with gather_for_metrics) + image dump
+        # the whole test set with gather_for_metrics) + image dump.
+        # opt.eval_every (epochs) thins it for many-epoch small-dataset
+        # runs; the final epoch always evals.
+        eval_every = int(opt.get("eval_every", 1))
+        if (epoch % eval_every) and epoch != ocfg.num_epochs - 1:
+            if args.max_steps and global_step >= args.max_steps:
+                break
+            continue
         try:
             # eval needs per-item gaussians even from the infer-style
             # dataset (load_gs_per_item; train-dataset classes ignore it)
