@@ -92,35 +92,51 @@ def build_tile_pairs(
     # Every per-gaussian column is broadcast to its pair slots with a
     # single packed jnp.repeat — narrow per-slot gathers (values[idx]) were
     # the dominant binning cost on TPU (see tools_bench_binning.py).
+    # The expansion is pure ROW MOVEMENT (6.1 ms of the 8 ms binning floor
+    # at 524k/150k, PERF.md r4): bit-pack the tile-rect geometry
+    # (x0, y0, row width — each ≤ grid dims) into ONE int32 so the repeat
+    # carries 3 columns instead of 5 (round-5: −38 % expansion bytes).
     offsets = jnp.cumsum(tiles_touched)  # inclusive
     total = offsets[-1]
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     base = jnp.concatenate([jnp.zeros(1, offsets.dtype), offsets[:-1]])
-    packed = jnp.stack(
-        [
-            rect_min[:, 0],
-            rect_min[:, 1],
-            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1),
-            base.astype(jnp.int32),
-            order.astype(jnp.int32),
-        ],
-        axis=1,
-    )  # (N, 5)
-    exp = jnp.repeat(
-        packed, tiles_touched, axis=0, total_repeat_length=max_pairs
-    )  # (max_pairs, 5)
-    local = slots - exp[:, 3]
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    bx = max(int(grid_x).bit_length(), 1)
+    by = max(int(grid_y).bit_length(), 1)
+    bw = max(int(grid_x + 1).bit_length(), 1)
+    if bx + by + bw <= 31:
+        geom = (rect_min[:, 0] | (rect_min[:, 1] << bx)
+                | (rw << (bx + by))).astype(jnp.int32)
+        packed = jnp.stack(
+            [geom, base.astype(jnp.int32), order.astype(jnp.int32)], axis=1)
+        exp = jnp.repeat(
+            packed, tiles_touched, axis=0, total_repeat_length=max_pairs
+        )  # (max_pairs, 3)
+        geom_e = exp[:, 0]
+        x0 = geom_e & ((1 << bx) - 1)
+        y0 = (geom_e >> bx) & ((1 << by) - 1)
+        rw_e = geom_e >> (bx + by)
+        base_e, order_e = exp[:, 1], exp[:, 2]
+    else:  # pragma: no cover — >16k² images
+        packed = jnp.stack(
+            [rect_min[:, 0], rect_min[:, 1], rw,
+             base.astype(jnp.int32), order.astype(jnp.int32)], axis=1)
+        exp = jnp.repeat(
+            packed, tiles_touched, axis=0, total_repeat_length=max_pairs)
+        x0, y0, rw_e = exp[:, 0], exp[:, 1], exp[:, 2]
+        base_e, order_e = exp[:, 3], exp[:, 4]
+    local = slots - base_e
     # variable-divisor int div/mod is microcoded on the VPU; emulate in f32
     # (exact: local < 2²⁴, rw ≤ 4096)
-    rw_f = exp[:, 2].astype(jnp.float32)
+    rw_f = rw_e.astype(jnp.float32)
     q = jnp.floor(local.astype(jnp.float32) / rw_f).astype(jnp.int32)
-    tile_x = exp[:, 0] + (local - q * exp[:, 2])
-    tile_y = exp[:, 1] + q
+    tile_x = x0 + (local - q * rw_e)
+    tile_y = y0 + q
     pair_valid = slots < total
     tile_id = jnp.where(
         pair_valid, tile_y * grid_x + tile_x, num_tiles
     ).astype(jnp.int32)
-    gauss_id = jnp.where(pair_valid, exp[:, 4], -1)
+    gauss_id = jnp.where(pair_valid, order_e, -1)
 
     # 3. (tile, input-order) sort — fused-key unstable sort, same order as
     # a stable tile sort (depth order preserved within tile)

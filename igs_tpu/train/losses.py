@@ -55,18 +55,25 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     h, w = img1.shape[-2:]
 
     def blur(x):
+        # precision=HIGHEST: TPU convs default to bf16 inputs, and the
+        # σ² = blur(x²) − μ² cancellation at bf16 (~1e-3 abs error)
+        # swamps the C2=9e-4 stabilizer — the SSIM map then blows past
+        # ±1 and 1−SSIM goes NEGATIVE, poisoning the training loss
+        # (found when the 256² convergence run collapsed; CPU was fine).
         x = x.reshape(-1, 1, h, w)
         y = jax.lax.conv_general_dilated(
             x, g1d[:, None][None, None],
             window_strides=(1, 1),
             padding=[(pad, pad), (0, 0)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         y = jax.lax.conv_general_dilated(
             y, g1d[None, :][None, None],
             window_strides=(1, 1),
             padding=[(0, 0), (pad, pad)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y.reshape(*lead, h, w)
 

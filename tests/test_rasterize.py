@@ -210,6 +210,27 @@ class TestTiledParity:
             np.asarray(til["color"]), np.asarray(ref["color"]), atol=2e-4, rtol=1e-3
         )
 
+    def test_nonsquare_nonmultiple_packed(self):
+        """The production output is 1014×1352 (infer_data.py defaults) —
+        NOT a multiple of the 16-px tile: the packed pallas path must
+        handle partial edge tiles. Shrunk to 56×72 for CPU interpret."""
+        cam = make_camera(height=56, width=72)
+        g = random_gaussians(n=256, seed=5)
+        s_ref = RasterSettings(image_height=56, image_width=72,
+                               impl="reference", max_pairs=1 << 15)
+        s_pak = RasterSettings(image_height=56, image_width=72,
+                               impl="pallas_packed", max_pairs=1 << 15,
+                               pallas_interpret=True, outputs="color_depth")
+        args = _raster_args(g, cam)
+        ref = rasterize(**args, settings=s_ref)
+        pak = rasterize(**args, settings=s_pak)
+        np.testing.assert_allclose(
+            np.asarray(pak["color"]), np.asarray(ref["color"]),
+            atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(pak["depth"]), np.asarray(ref["depth"]),
+            atol=2e-3, rtol=1e-3)
+
 
 @pytest.mark.slow
 class TestGradients:

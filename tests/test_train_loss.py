@@ -179,3 +179,22 @@ def test_crash_save_falls_back_to_shadow(tmp_path):
     restored, step = load_checkpoint(ckpt, {"w": jnp.zeros(4)})
     assert step == 42
     np.testing.assert_allclose(np.asarray(restored["w"]), 5.0)
+
+
+def test_ssim_convs_pin_full_precision():
+    """TPU convs default to bf16 inputs; the sigma^2 = blur(x^2) - mu^2
+    cancellation then swamps the C2 stabilizer and the SSIM map blows
+    past +-1, making 1-SSIM NEGATIVE — this poisoned the 256^2 training
+    loss on real hardware (round 5). The blur convs must pin
+    precision=HIGHEST; assert it survives in the jaxpr (a CPU run can't
+    reproduce the TPU default-precision failure directly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from igs_tpu.train.losses import ssim
+
+    a = jnp.zeros((3, 32, 32))
+    jaxpr = str(jax.make_jaxpr(lambda x, y: ssim(x, y)[0])(a, a))
+    n_convs = jaxpr.count("conv_general_dilated")
+    assert n_convs >= 2
+    assert jaxpr.count("HIGHEST") >= n_convs, jaxpr[:2000]
