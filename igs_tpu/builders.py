@@ -48,6 +48,7 @@ def build_model(system: Dict[str, Any], encoder_bf16: bool = False,
         use_condition3d=system.get("use_condition3d", True),
         local_ray=system.get("local_ray", True),
         fine_tune_backbone=system.get("fine_tune_backbone", True),
+        train_backbone=bool(system.get("train_backbone", False)),
         encoder_heads=enc_unet.get("num_attention_heads", 8),
         encoder_head_dim=enc_unet.get("attention_head_dim", 64),
         encoder_layers=enc_unet.get("num_layers", 4),
@@ -139,6 +140,9 @@ def build_stream_configs(
         exact_knn=bool(opt.get("exact_knn", False)),
         fps_buckets=int(opt.get("fps_buckets", 64)),
         shared_window_pairs=bool(opt.get("shared_window_pairs", True)),
+        shared_pairs_drift_px=float(opt.get("shared_pairs_drift_px", 8.0)),
+        shared_pairs_drift_frac=float(
+            opt.get("shared_pairs_drift_frac", 0.01)),
     )
     refine = RefineConfig(
         position_lr=float(lrs.get("position_lr_init", 0.0016)),

@@ -96,41 +96,62 @@ def build_synthetic_scene(
     static_frac: float = 0.5,
     opacity_range=(1.0, 4.0),
     scale_range=(-2.8, -1.8),
+    out_height: Optional[int] = None,
+    out_width: Optional[int] = None,
 ) -> dict:
     """Build the scene tree; returns paths/info for the datasets.
 
     ``motion_scale`` scales the dynamic core's drift (1.0 ≈ 18 px/frame
     at 256²; use ~0.3 for an N3DV-like few-px/frame training scene).
-    """
-    if settings is None:
-        import math
 
-        settings = RasterSettings(
-            image_height=height, image_width=width, impl="tiles",
+    ``out_height``/``out_width``: resolution of the EVAL/refine renders
+    (images_r2 + train gt/depth), when different from the input
+    (images_512) resolution — the reference's real geometry is 512²
+    inputs with 1014×1352 outputs (infer_data.py defaults). Default:
+    same as height/width.
+    """
+    import math
+
+    out_h = out_height or height
+    out_w = out_width or width
+
+    def default_settings(h, w):
+        return RasterSettings(
+            image_height=h, image_width=w, impl="tiles",
             max_pairs=1 << min(
-                21, max(15, math.ceil(math.log2(height * width * 2)))),
+                21, max(15, math.ceil(math.log2(h * w * 2)))),
             max_per_tile=512, chunk=64,
         )
+
+    if settings is None:
+        settings = default_settings(height, width)
+    out_settings = (settings if (out_h, out_w) == (height, width)
+                    else default_settings(out_h, out_w))
     cams = _make_cameras(n_cams, height=height, width=width)
     fov = 2 * np.arctan(width / (2 * cams[0]["fx"]))
 
     import jax
+    from functools import partial
 
-    @jax.jit
-    def _render_jit(g, c2w):
-        cam = Camera.from_c2w(c2w, (fov, fov), (height, width))
+    @partial(jax.jit, static_argnums=(2,))
+    def _render_jit(g, c2w, out_res: bool):
+        s = out_settings if out_res else settings
+        cam = Camera.from_c2w(
+            c2w, (fov, fov), (s.image_height, s.image_width))
         out = rasterize(
             means3d=g.get_xyz, opacity=g.get_opacity, scaling=g.get_scaling,
             rotation=g.get_rotation, camera=cam, shs=g.shs, valid=g.valid,
-            settings=settings,
+            settings=s,
         )
         return jnp.clip(out["color"], 0, 1), out["depth"]
 
-    def render(g, cam_json):
+    two_res = (out_h, out_w) != (height, width)
+
+    def render(g, cam_json, out_res=False):
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3, :3] = np.array(cam_json["rotation"])
         c2w[:3, 3] = np.array(cam_json["position"])
-        img, depth = _render_jit(g, jnp.asarray(c2w))
+        img, depth = _render_jit(g, jnp.asarray(c2w), out_res)
         return np.asarray(img), np.asarray(depth)
 
     scene_dir = os.path.join(root, scene_name)
@@ -163,13 +184,21 @@ def build_synthetic_scene(
         for i, cam in enumerate(cams):
             img, depth = render(g, cam)
             u8 = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
-            for sub in ("images_r2", "images_512"):
-                Image.fromarray(u8).save(
-                    os.path.join(frame_dir, sub, cam["img_name"] + ".png"))
+            Image.fromarray(u8).save(
+                os.path.join(frame_dir, "images_512", cam["img_name"] + ".png"))
+            if two_res:
+                # eval/refine views live at the OUTPUT resolution
+                # (reference: images_r2 is 1014×1352, images_512 is 512²)
+                img_o, depth_o = render(g, cam, out_res=True)
+                u8_o = (img_o.transpose(1, 2, 0) * 255).astype(np.uint8)
+            else:
+                u8_o, depth_o = u8, depth
+            Image.fromarray(u8_o).save(
+                os.path.join(frame_dir, "images_r2", cam["img_name"] + ".png"))
             if write_train:
-                Image.fromarray(u8).save(
+                Image.fromarray(u8_o).save(
                     os.path.join(train_dir, "gt", f"{i:05d}.png"))
-                dmm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
+                dmm = np.clip(depth_o * 1000.0, 0, 65535).astype(np.uint16)
                 # depth file i = camera i; consumers set
                 # data.depth_id_offset: 0 (the reference's vid+1 n3d
                 # quirk reflects ITS datasets' render enumeration; the

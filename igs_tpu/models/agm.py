@@ -42,6 +42,13 @@ class AGMNet(nn.Module):
     use_condition3d: bool = True
     local_ray: bool = True
     fine_tune_backbone: bool = True  # = train the motion transformer
+    # train the GMFlow backbone end-to-end instead of freezing it
+    # (IGS.py:76 requires_grad_(False)). The reference freezes because it
+    # loads PRETRAINED GMFlow weights; without them (no checkpoint
+    # reachable) a frozen RANDOM backbone leaves the system almost
+    # nothing to learn from — the 256² convergence runs plateau at the
+    # identity baseline. Off by default (reference parity).
+    train_backbone: bool = False
     encoder_heads: int = 8
     encoder_head_dim: int = 64
     encoder_layers: int = 4
@@ -105,8 +112,9 @@ class AGMNet(nn.Module):
         UniMatch.__call__ — shared-cur CNN dedup for streaming windows.
         """
         f0, f1 = self.backbone(cur_images, next_images, img0_tile=cur_tile)
-        f0 = jax.lax.stop_gradient(f0)
-        f1 = jax.lax.stop_gradient(f1)
+        if not self.train_backbone:
+            f0 = jax.lax.stop_gradient(f0)
+            f1 = jax.lax.stop_gradient(f1)
         if self.fine_tune_backbone:
             motion = self.transformer(f0, f1, attn_num_splits=self.attn_splits)
         else:

@@ -79,7 +79,7 @@ def trainable_mask(params) -> Any:
 
 
 def make_optimizer(params, cfg: OptConfig, total_steps: int,
-                   grad_accum: int = 1):
+                   grad_accum: int = 1, train_backbone: bool = False):
     sched = onecycle_schedule(cfg.lr, total_steps, cfg.warmup_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip),
@@ -90,7 +90,11 @@ def make_optimizer(params, cfg: OptConfig, total_steps: int,
             weight_decay=cfg.weight_decay,
         ),
     )
-    tx = optax.masked(tx, trainable_mask(params))
+    if not train_backbone:
+        # reference parity: the GMFlow backbone is frozen (IGS.py:75-77);
+        # with system.train_backbone the whole net optimizes end-to-end
+        # (the no-pretrained-weights regime — see AGMNet.train_backbone)
+        tx = optax.masked(tx, trainable_mask(params))
     if grad_accum > 1:
         # accelerator.accumulate parity (main.py:231)
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)

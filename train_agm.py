@@ -163,7 +163,8 @@ def main():
     total_steps = ocfg.num_epochs * steps_per_epoch
     grad_accum = int(opt.get("gradient_accumulation_steps", 1))
     tx, sched = make_optimizer(params, ocfg, total_steps,
-                               grad_accum=grad_accum)
+                               grad_accum=grad_accum,
+                               train_backbone=model.train_backbone)
     opt_state = tx.init(params)
     # optimizer-state restore (main.py:196-201 resume_opt)
     resume_opt = opt.get("resume_opt", "")
