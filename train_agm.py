@@ -79,10 +79,10 @@ def main():
         if n_data > 1 else None
     )
 
-    def prep_batch(items):
+    def prep_batch(items, cap=None):
         batch = train_ds.collate(items)
         caps = [g.num_capacity for g in batch["gs"]]
-        cap = args.capacity or (max(caps) + 8191) // 8192 * 8192
+        cap = cap or args.capacity or (max(caps) + 8191) // 8192 * 8192
         gs = [g.pad_to(cap) for g in batch["gs"]]
         gaussians = jax.tree.map(lambda *x: jnp.stack(x), *gs)
         states = [
@@ -96,8 +96,34 @@ def main():
                   if isinstance(v, np.ndarray)}
         return jbatch, anchor_state, gaussians
 
+    # per-item prep cache for small datasets: PNG decode + PLY load +
+    # anchor KNN per item cost ~2-3 s/host — on a many-epoch run over a
+    # few dozen items that dwarfs the 0.6 s device step. The reference's
+    # DataLoader workers amortize the same cost (main.py num_workers).
+    _item_cache: dict = {}
+    cache_items = len(train_ds) <= int(opt.get("prep_cache_max_items", 64))
+
+    def prep_batch_cached(idxs, cap):
+        if not cache_items:
+            return prep_batch([train_ds[int(i)] for i in idxs], cap=cap)
+        for i in idxs:
+            i = int(i)
+            if i not in _item_cache:
+                # fixed cap across the cache so batches concatenate; an
+                # item needing more raises in pad_to — set --capacity
+                _item_cache[i] = prep_batch([train_ds[i]], cap=cap)
+        parts = [_item_cache[int(i)] for i in idxs]
+        cat = lambda xs: (
+            None if xs[0] is None else jnp.concatenate(xs, axis=0))
+        jbatch = {k: cat([p[0][k] for p in parts]) for k in parts[0][0]}
+        state = jax.tree.map(lambda *x: cat(list(x)), *[p[1] for p in parts])
+        gaussians = jax.tree.map(
+            lambda *x: cat(list(x)), *[p[2] for p in parts])
+        return jbatch, state, gaussians
+
     # init params (and optionally load the GMFlow backbone weights)
     first = prep_batch([train_ds[i] for i in range(batch_size)])
+    train_cap = int(first[2].xyz.shape[1])  # fixed capacity for the cache
     params = jax.jit(
         lambda r: model.init(r, *first, settings)
     )(jax.random.PRNGKey(0))
@@ -212,8 +238,8 @@ def main():
             idxs = order[it * batch_size: (it + 1) * batch_size]
             if len(idxs) < batch_size:
                 break
-            batch, anchor_state, gaussians = prep_batch(
-                [train_ds[int(i)] for i in idxs])
+            batch, anchor_state, gaussians = prep_batch_cached(
+                idxs, train_cap)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
                 anchor_state = shard_batch(mesh, anchor_state)
