@@ -327,6 +327,9 @@ def train_one_frame(
 
 
 def main():
+    from igs_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", required=True, help="scene dir with colmap_<f>")
     ap.add_argument("--images", default="images_512")

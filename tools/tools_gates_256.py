@@ -28,24 +28,29 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
+    # exact_all first (the reference-semantics pole every delta is
+    # measured against), production second; single-knob ablations after.
+    "exact_all": ["opt.exact_knn=true", "opt.fps_buckets=1",
+                  "opt.shared_window_pairs=false",
+                  "system.encoder_bf16=false", "system.cnn_bf16=false",
+                  "system.ft_bf16=false", "opt.depth_view_res=256"],
     "production": [],
-    "exact_knn": ["opt.exact_knn=true"],
-    "exact_fps": ["opt.fps_buckets=1"],
     "no_shared_pairs": ["opt.shared_window_pairs=false"],
     "f32": ["system.encoder_bf16=false", "system.cnn_bf16=false",
             "system.ft_bf16=false"],
     "carry64": ["opt.depth_view_res=64"],
     "carry256": ["opt.depth_view_res=256"],
-    "exact_all": ["opt.exact_knn=true", "opt.fps_buckets=1",
-                  "opt.shared_window_pairs=false",
-                  "system.encoder_bf16=false", "system.cnn_bf16=false",
-                  "system.ft_bf16=false", "opt.depth_view_res=256"],
+    "exact_knn": ["opt.exact_knn=true"],
+    "exact_fps": ["opt.fps_buckets=1"],
 }
 
 
 def main():
     ckpt = sys.argv[1]
     assert os.path.exists(ckpt), ckpt
+    # Optional frame trim (wall-clock budget): each stream batch is
+    # eval_batch_size frames; PSNR averages over what ran.
+    max_batches = sys.argv[2] if len(sys.argv) > 2 else None
     results = {}
     for name, over in CONFIGS.items():
         ws = f"logs/igs_tpu/gates256/{name}"
@@ -53,7 +58,7 @@ def main():
             sys.executable, "infer_stream.py",
             "--config", "configs/synthetic_stream_256.yaml",
             f"opt.resume={ckpt}", f"opt.workspace={ws}",
-        ] + over
+        ] + (["--max-batches", max_batches] if max_batches else []) + over
         print("==>", name, " ".join(over))
         r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
                            timeout=3600)
@@ -70,10 +75,15 @@ def main():
             "overrides": over,
         }
         print(f"    avg PSNR {res['avg']:.4f}")
+        _write(ckpt, results)  # incremental: partial ladder survives a cut
+    print("wrote GATES_256.json")
 
+
+def _write(ckpt, results):
     base = results.get("exact_all", {}).get("avg")
     table = {}
     for name, r in results.items():
+        r = dict(r)
         if "avg" in r and base:
             r["delta_vs_exact_all_db"] = r["avg"] - base
         table[name] = r
@@ -81,7 +91,6 @@ def main():
            "checkpoint": ckpt, "results": table}
     with open(os.path.join(ROOT, "GATES_256.json"), "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote GATES_256.json")
 
 
 if __name__ == "__main__":

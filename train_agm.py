@@ -33,6 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from igs_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from igs_tpu.builders import (
         build_dataset, build_model, build_opt_config, build_raster_settings,
     )
